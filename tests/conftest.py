@@ -1,0 +1,36 @@
+"""Test config: force a LOCAL CPU backend with 8 virtual devices.
+
+This image registers a remote-TPU PJRT plugin ("axon") into every Python
+process via a sitecustomize; its per-dispatch tunnel latency (~40 ms) makes
+test suites unusably slow. The plugin wins by calling
+jax.config.update("jax_platforms", "axon,cpu"), so we override the config (not
+the env var) back to plain CPU before any backend client is created, and raise
+the virtual host-device count to 8 so sharding tests exercise a real
+multi-device Mesh without TPU hardware (the driver separately dry-runs the
+multi-chip path; see __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+if _xb.backends_are_initialized():  # pragma: no cover
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,155 @@
+"""Golden parity: dense XLA blend vs the trusted loop implementation, plus
+binning invariants and basic rasterizer-contract checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vegs_tpu import geometry
+from vegs_tpu.ops import binning, blend_ref
+from vegs_tpu.ops.projection import project
+from vegs_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+from utils import make_camera, random_gaussians
+
+CFG_DENSE = RasterizeConfig(backend="dense", k_cap=1 << 14)
+
+
+def _project_and_bin(rng, n=300, h=48, w=96):
+    cam = make_camera(height=h, width=w)
+    means, quats, scales, opac, shs = random_gaussians(rng, n)
+    cov6 = geometry.strip_symmetric(
+        geometry.covariance_from_scaling_rotation(scales, quats)
+    )
+    proj = project(means, cov6, opac, shs, cam)
+    grid = binning.TileGrid.for_image(h, w)
+    binned = binning.bin_gaussians(proj.means2d, proj.depths, proj.radii, grid, 1 << 14)
+    return cam, proj, grid, binned, (means, quats, scales, opac, shs)
+
+
+def test_binning_invariants(rng):
+    cam, proj, grid, binned, _ = _project_and_bin(rng)
+    keys = np.asarray(binned.sort_keys)
+    starts = np.asarray(binned.tile_starts)
+    k = int(binned.num_instances)
+    assert int(binned.num_dropped) == 0
+    # sorted keys
+    assert np.all(np.diff(keys) >= 0)
+    # per-tile ranges partition [0, k)
+    assert starts[0] == 0 and starts[-1] == k
+    assert np.all(np.diff(starts) >= 0)
+    # every in-range instance's tile matches its range
+    tiles = keys[:k] >> binning.TILE_SHIFT
+    for t in range(grid.num_tiles):
+        seg = tiles[starts[t]:starts[t + 1]]
+        assert np.all(seg == t)
+    # instance count equals sum of per-Gaussian tile-rect areas
+    radii = np.asarray(proj.radii)
+    m2d = np.asarray(proj.means2d)
+    x0, y0, x1, y1 = [np.asarray(v) for v in binning.tile_rects(proj.means2d, proj.radii, grid)]
+    expect = np.where(radii > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0).sum()
+    assert expect == k
+    # depth ordering within each tile (quantized keys are non-decreasing)
+    depth_bits = keys[:k] & ((1 << binning.TILE_SHIFT) - 1)
+    for t in range(grid.num_tiles):
+        seg = depth_bits[starts[t]:starts[t + 1]]
+        assert np.all(np.diff(seg) >= 0)
+
+
+def test_dense_blend_matches_loop(rng):
+    h, w = 48, 96
+    cam, proj, grid, binned, _ = _project_and_bin(rng, n=250, h=h, w=w)
+    quat_n = geometry.quat_standardize(geometry.quat_normalize(jnp.ones((250, 4))))
+    payload = jnp.concatenate(
+        [
+            proj.means2d.T, proj.conics.T, proj.opacities[None],
+            proj.rgb.T, proj.depths[None],
+            quat_n.T, jnp.ones((3, 250)) * 0.1,
+        ],
+        axis=0,
+    )
+    payload_sorted = payload[:, binned.gidx]
+    out_dense = np.asarray(
+        blend_ref.blend_dense(payload_sorted, binned.sort_keys, binned.tile_starts, grid, h, w)
+    )
+    out_loop = blend_ref.blend_loop_np(
+        np.asarray(payload_sorted), np.asarray(binned.sort_keys),
+        np.asarray(binned.tile_starts), grid, h, w,
+    )
+    np.testing.assert_allclose(out_dense, out_loop, atol=2e-5, rtol=1e-4)
+    # scene actually covers pixels
+    assert out_loop[blend_ref.N_ACCUM].min() < 0.9
+
+
+def test_rasterize_contract(rng):
+    h, w = 48, 96
+    cam = make_camera(height=h, width=w)
+    means, quats, scales, opac, shs = random_gaussians(rng, 200)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    out = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=CFG_DENSE)
+    assert out.rgb.shape == (3, h, w)
+    assert out.depth.shape == (1, h, w)
+    assert out.cov_quat.shape == (4, h, w)
+    assert out.cov_scale.shape == (3, h, w)
+    assert out.alpha.shape == (1, h, w)
+    assert out.radii.shape == (200,)
+    assert out.radii.dtype == jnp.int32
+    rgb = np.asarray(out.rgb)
+    alpha = np.asarray(out.alpha)
+    assert np.isfinite(rgb).all()
+    assert alpha.min() >= -1e-6 and alpha.max() <= 1.0 + 1e-6
+    # empty pixels show pure background
+    empty = alpha[0] < 1e-6
+    if empty.any():
+        np.testing.assert_allclose(
+            rgb[:, empty], np.broadcast_to(np.asarray(bg)[:, None], (3, empty.sum())),
+            atol=1e-5,
+        )
+
+
+def test_rasterize_colors_precomp_and_scale_modifier(rng):
+    h, w = 32, 64
+    cam = make_camera(height=h, width=w)
+    means, quats, scales, opac, shs = random_gaussians(rng, 64)
+    cols = jnp.clip(jnp.asarray(np.asarray(shs[:, 0]) * 0.28209479 + 0.5), 0, 1)
+    out1 = rasterize(means, quats, scales, opac, None, cam,
+                     colors_precomp=cols, config=CFG_DENSE)
+    assert np.isfinite(np.asarray(out1.rgb)).all()
+    # doubling scale_modifier grows footprints
+    out2 = rasterize(means, quats, scales, opac, shs, cam,
+                     scale_modifier=2.0, config=CFG_DENSE)
+    out0 = rasterize(means, quats, scales, opac, shs, cam, config=CFG_DENSE)
+    assert np.asarray(out2.radii).sum() > np.asarray(out0.radii).sum()
+    # and the per-pixel scale map reflects the modifier
+    m0 = np.asarray(out0.cov_scale).max()
+    m2 = np.asarray(out2.cov_scale).max()
+    assert m2 > m0
+
+
+def test_rasterize_gradients_flow(rng):
+    h, w = 32, 64
+    cam = make_camera(height=h, width=w)
+    means, quats, scales, opac, shs = random_gaussians(rng, 80)
+    target = jnp.zeros((3, h, w))
+
+    def loss_fn(means, quats, scales, opac, shs, off):
+        out = rasterize(means, quats, scales, opac, shs, cam,
+                        means2d_offset=off, config=CFG_DENSE)
+        return jnp.mean((out.rgb - target) ** 2) + 0.1 * jnp.mean(out.cov_quat**2)
+
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(
+        means, quats, scales, opac, shs, jnp.zeros((80, 2))
+    )
+    names = ["means", "quats", "scales", "opac", "shs", "means2d_offset"]
+    for g, name in zip(grads, names):
+        g = np.asarray(g)
+        assert np.isfinite(g).all(), name
+        assert np.abs(g).sum() > 0, f"no gradient signal through {name}"
+
+
+def test_mark_visible(rng):
+    from vegs_tpu.ops.projection import mark_visible
+    cam = make_camera()
+    pts = jnp.asarray([[0, 0, 5.0], [0, 0, -5.0], [0, 0, 0.1]])
+    vis = np.asarray(mark_visible(pts, cam.viewmatrix, cam.projmatrix))
+    assert vis.tolist() == [True, False, False]

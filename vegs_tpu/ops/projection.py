@@ -1,0 +1,193 @@
+"""Gaussian preprocessing: cull → project → EWA conic → SH color.
+
+This is the TPU-native equivalent of the CUDA rasterizer's `preprocess` kernel
+(SURVEY.md §2.3 item 1, [inferred] internal pipeline). It is pure vectorized
+JAX — one fused VPU pass over all N Gaussians under jit — and fully
+differentiable, so the backward comes from autodiff (no custom kernel needed;
+the hot custom kernels are binning/blending).
+
+Semantics spec (our single source of truth, chosen to match the standard 3DGS
+EWA formulation the reference kernel implements):
+  * view-space position p = W_view @ [x,1]; cull when p.z <= znear (0.2).
+  * 2D mean in PIXEL coordinates: ndc2pix(v, S) = ((v + 1) * S - 1) / 2.
+  * 2D covariance: J = perspective Jacobian at the frustum-clamped view point
+    (clamp x/z, y/z to 1.3*tan_fov); cov2d = T Σ Tᵀ with T = J @ R_view, plus
+    a 0.3 px low-pass on the diagonal.
+  * conic = cov2d⁻¹ (2x2, packed [a, b, c]); radius = ceil(3σ_max).
+  * color = SH(view_dir) clamped to >= 0.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import sh as sh_lib
+
+ZNEAR = 0.2
+LOWPASS = 0.3
+
+
+class CameraParams(NamedTuple):
+    """Device-side camera parameters (static shapes, float32)."""
+
+    viewmatrix: jax.Array   # [4, 4] world->view, row-vector convention NOT used:
+                            # stored as the reference does (transposed), see note
+    projmatrix: jax.Array   # [4, 4] full (view @ proj) transposed, for NDC
+    campos: jax.Array       # [3]
+    tan_fovx: jax.Array     # scalar
+    tan_fovy: jax.Array     # scalar
+    height: int             # static
+    width: int              # static
+
+    # NOTE on conventions: following the reference (scene/cameras.py:76-87),
+    # `viewmatrix`/`projmatrix` are stored TRANSPOSED, so points transform as
+    # row-vectors: p_view = [x, 1] @ viewmatrix.
+
+
+class Projected(NamedTuple):
+    """Per-Gaussian screen-space quantities feeding binning + blending."""
+
+    means2d: jax.Array   # [N, 2] pixel coords
+    depths: jax.Array    # [N] view-space z
+    conics: jax.Array    # [N, 3] inverse 2D covariance (a, b, c)
+    radii: jax.Array     # [N] int32 screen radius in px (0 = culled)
+    rgb: jax.Array       # [N, 3]
+    opacities: jax.Array  # [N]
+    visible: jax.Array   # [N] bool (in-frustum & valid)
+
+
+def project(
+    means3d: jax.Array,
+    cov6: jax.Array,
+    opacities: jax.Array,
+    shs: jax.Array,
+    cam: CameraParams,
+    sh_degree: int = 3,
+    valid: jax.Array | None = None,
+    means2d_offset: jax.Array | None = None,
+    clamp_radius: int = 0,
+) -> Projected:
+    """Project N Gaussians to screen space.
+
+    means3d:   [N, 3]
+    cov6:      [N, 6] packed world covariance (xx, xy, xz, yy, yz, zz)
+    opacities: [N] or [N, 1]
+    shs:       [N, K, 3] SH coefficients (K >= (sh_degree+1)^2)
+    means2d_offset: optional [N, 2] zeros — the differentiable tap whose
+        cotangent is the screen-space positional gradient used for densify
+        stats (replaces the reference's retain_grad screenspace_points trick,
+        gaussian_renderer/__init__.py:27-32).
+    clamp_radius: if > 0, clamp the tile footprint radius (bounds the worst
+        case duplication in binning; 0 = unbounded).
+    """
+    n = means3d.shape[0]
+    opacities = opacities.reshape(n)
+    homog = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=1)
+
+    p_view = homog @ cam.viewmatrix  # [N, 4] row-vector convention
+    depths = p_view[:, 2]
+
+    p_hom = homog @ cam.projmatrix  # [N, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    ndc = p_hom[:, :3] * p_w[:, None]
+
+    W, H = cam.width, cam.height
+    mx = ((ndc[:, 0] + 1.0) * W - 1.0) * 0.5
+    my = ((ndc[:, 1] + 1.0) * H - 1.0) * 0.5
+    means2d = jnp.stack([mx, my], axis=1)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    # --- EWA: world cov -> 2D screen cov ---------------------------------
+    limx = 1.3 * cam.tan_fovx
+    limy = 1.3 * cam.tan_fovy
+    tz = jnp.where(jnp.abs(depths) < 1e-6, 1e-6, depths)
+    txtz = jnp.clip(p_view[:, 0] / tz, -limx, limx)
+    tytz = jnp.clip(p_view[:, 1] / tz, -limy, limy)
+    tx, ty = txtz * tz, tytz * tz
+
+    focal_x = W / (2.0 * cam.tan_fovx)
+    focal_y = H / (2.0 * cam.tan_fovy)
+
+    # J rows (only first two needed): d(pix)/d(view)
+    j00 = focal_x / tz
+    j02 = -(focal_x * tx) / (tz * tz)
+    j11 = focal_y / tz
+    j12 = -(focal_y * ty) / (tz * tz)
+
+    # Rotation part of world->view: with the transposed storage convention,
+    # view_rot row-vector transform is p_view[:3] = p @ V[:3,:3], i.e. the
+    # effective matrix W_r (acting on column vectors) is V[:3,:3]^T.
+    Vr = cam.viewmatrix[:3, :3]  # [3(world), 3(view)]
+
+    # T = J @ W_r, computed row-wise: T[r, c] = sum_k J[r,k] * W_r[k, c]
+    # W_r[k, c] = Vr[c_world... careful: (p @ Vr)[j] = sum_i p_i Vr[i, j]
+    # so W_r (column-vector matrix) = Vr^T, W_r[k, c] = Vr[c, k].
+    # T has shape [N, 2, 3]:
+    t0 = j00[:, None] * Vr.T[0][None, :] + j02[:, None] * Vr.T[2][None, :]
+    t1 = j11[:, None] * Vr.T[1][None, :] + j12[:, None] * Vr.T[2][None, :]
+    T = jnp.stack([t0, t1], axis=1)  # [N, 2, 3]
+
+    from ..geometry import unstrip_symmetric
+
+    Sigma = unstrip_symmetric(cov6)  # [N, 3, 3]
+    cov2d = T @ Sigma @ jnp.swapaxes(T, 1, 2)  # [N, 2, 2]
+    cxx = cov2d[:, 0, 0] + LOWPASS
+    cxy = cov2d[:, 0, 1]
+    cyy = cov2d[:, 1, 1] + LOWPASS
+
+    det = cxx * cyy - cxy * cxy
+    det_safe = jnp.where(det <= 0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=1)
+
+    # Screen radius: 3 sigma of the max eigenvalue.
+    mid = 0.5 * (cxx + cyy)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    if clamp_radius > 0:
+        radius_f = jnp.minimum(radius_f, float(clamp_radius))
+
+    # --- visibility -------------------------------------------------------
+    in_front = depths > ZNEAR
+    det_ok = det > 0
+    # Generous on-screen test (the blend handles exact tile clipping).
+    on_screen = (
+        (mx + radius_f >= 0)
+        & (mx - radius_f < W)
+        & (my + radius_f >= 0)
+        & (my - radius_f < H)
+    )
+    visible = in_front & det_ok & on_screen
+    if valid is not None:
+        visible = visible & valid
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    # --- SH -> RGB --------------------------------------------------------
+    dirs = means3d - cam.campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+    k = sh_lib.num_sh_coeffs(sh_degree)
+    rgb = sh_lib.eval_sh(sh_degree, jnp.swapaxes(shs[:, :k, :], 1, 2), dirs) + 0.5
+    rgb = jnp.maximum(rgb, 0.0)
+
+    return Projected(
+        means2d=means2d,
+        depths=depths,
+        conics=conics,
+        radii=radii,
+        rgb=rgb,
+        opacities=opacities,
+        visible=visible,
+    )
+
+
+def mark_visible(means3d: jax.Array, viewmatrix: jax.Array, projmatrix: jax.Array) -> jax.Array:
+    """Frustum visibility test (parity with rasterizer.markVisible,
+    reference utils/norminit_utils.py:55,179). Returns bool [N]."""
+    n = means3d.shape[0]
+    homog = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=1)
+    p_view = homog @ viewmatrix
+    return p_view[:, 2] > ZNEAR
