@@ -28,32 +28,40 @@ def _project_and_bin(rng, n=300, h=48, w=96):
 
 
 def test_binning_invariants(rng):
-    cam, proj, grid, binned, _ = _project_and_bin(rng)
+    n = 300
+    cam, proj, grid, binned, _ = _project_and_bin(rng, n=n)
     keys = np.asarray(binned.sort_keys)
     starts = np.asarray(binned.tile_starts)
+    gidx = np.asarray(binned.gidx)
     k = int(binned.num_instances)
     assert int(binned.num_dropped) == 0
-    # sorted keys
-    assert np.all(np.diff(keys) >= 0)
-    # per-tile ranges partition [0, k)
-    assert starts[0] == 0 and starts[-1] == k
+    # padded layout: boundaries aligned and non-decreasing
+    assert starts[0] == 0
+    assert np.all(starts % binning.PAD_ALIGN == 0)
     assert np.all(np.diff(starts) >= 0)
-    # every in-range instance's tile matches its range
-    tiles = keys[:k] >> binning.TILE_SHIFT
-    for t in range(grid.num_tiles):
-        seg = tiles[starts[t]:starts[t + 1]]
-        assert np.all(seg == t)
     # instance count equals sum of per-Gaussian tile-rect areas
     radii = np.asarray(proj.radii)
-    m2d = np.asarray(proj.means2d)
     x0, y0, x1, y1 = [np.asarray(v) for v in binning.tile_rects(proj.means2d, proj.radii, grid)]
     expect = np.where(radii > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0).sum()
     assert expect == k
-    # depth ordering within each tile (quantized keys are non-decreasing)
-    depth_bits = keys[:k] & ((1 << binning.TILE_SHIFT) - 1)
+    # per-tile segments: real instances form a depth-sorted prefix, padding
+    # slots are sentinels pointing at the dummy Gaussian
+    total_real = 0
     for t in range(grid.num_tiles):
-        seg = depth_bits[starts[t]:starts[t + 1]]
-        assert np.all(np.diff(seg) >= 0)
+        seg = keys[starts[t]:starts[t + 1]]
+        real = seg != binning.SENTINEL
+        c = int(real.sum())
+        total_real += c
+        assert np.all(real[:c]) and not real[c:].any()  # prefix layout
+        assert np.all((seg[:c] >> binning.TILE_SHIFT) == t)
+        depth_bits = seg[:c] & ((1 << binning.TILE_SHIFT) - 1)
+        assert np.all(np.diff(depth_bits) >= 0)
+        gseg = gidx[starts[t]:starts[t + 1]]
+        assert np.all(gseg[:c] < n)
+        assert np.all(gseg[c:] == n)
+    assert total_real == k
+    # slots beyond the last tile boundary are all padding
+    assert np.all(gidx[starts[-1]:] == n)
 
 
 def test_dense_blend_matches_loop(rng):
@@ -68,6 +76,7 @@ def test_dense_blend_matches_loop(rng):
         ],
         axis=0,
     )
+    payload = jnp.pad(payload, ((0, 0), (0, 1)))  # dummy column for padding slots
     payload_sorted = payload[:, binned.gidx]
     out_dense = np.asarray(
         blend_ref.blend_dense(payload_sorted, binned.sort_keys, binned.tile_starts, grid, h, w)

@@ -1,5 +1,5 @@
 """Tile binning: expand Gaussians into per-tile instances, sort by (tile, depth),
-compute per-tile instance ranges.
+lay instances out in chunk-aligned per-tile ranges.
 
 TPU-native replacement for the CUDA rasterizer's duplicateWithKeys → radix
 sort → identifyTileRanges stages (SURVEY.md §2.3 item 1 [inferred] pipeline).
@@ -7,15 +7,25 @@ Everything here is index math on int32 — pure XLA (cumsum / scatter / one
 lax.sort / searchsorted), no Pallas needed. Measured on v5e: the sort is
 ~2.4 ms per million instances and dominates this stage.
 
-Static-shape contract: instance capacity `k_cap` is fixed; if a view produces
-more instances they are dropped from the tail (per-Gaussian order) and
-`num_dropped` reports how many — no silent truncation.
+Layout contract (consumed by blend kernels):
+  * Each tile's instance range [tile_starts[t], tile_starts[t+1]) is padded to
+    a multiple of PAD_ALIGN (=128) slots, so the Pallas blend kernel walks
+    whole aligned chunks — DMA offsets are 128-aligned and chunk writes in the
+    backward never straddle two tiles.
+  * Padding slots inside a range carry gidx == n (a "dummy" Gaussian index —
+    callers append one zero-opacity payload column at index n) and
+    sort_keys == SENTINEL.
+  * Instances within a tile are depth-ordered (quantized 19-bit keys).
+
+Static-shape contract: instance capacity `k_cap` (multiple of 128) is fixed;
+overflow drops instances from the tail and `num_dropped` reports how many —
+no silent truncation.
 
 Key packing: key = tile_id << 19 | (float32_bits(depth) >> 12). Positive-float
 bit patterns are order-preserving, so the low 19 bits sort by depth with ~10
-mantissa bits of resolution. Requires num_tiles <= 4095. Ties (same quantized
-depth) break arbitrarily; the golden reference uses the same quantized key so
-orderings agree exactly.
+mantissa bits of resolution. Requires num_tiles <= 4094. Ties (same quantized
+depth) break arbitrarily; the golden reference consumes the same sorted layout
+so orderings agree exactly.
 """
 
 from __future__ import annotations
@@ -27,7 +37,8 @@ import jax.numpy as jnp
 
 DEPTH_SHIFT = 12
 TILE_SHIFT = 19
-MAX_TILES = 4095
+MAX_TILES = 4094
+PAD_ALIGN = 128
 SENTINEL = jnp.int32(2**31 - 1)
 
 
@@ -42,8 +53,13 @@ class TileGrid(NamedTuple):
         return self.ntx * self.nty
 
     @staticmethod
-    def for_image(height: int, width: int, tile_h: int = 16, tile_w: int = 16) -> "TileGrid":
+    def for_image(height: int, width: int, tile_h: int = 16, tile_w: int = 16,
+                  ntx_align: int = 8) -> "TileGrid":
+        """Tile grid covering the image. ntx is rounded up to `ntx_align` so
+        the Pallas blend's (tile_h, ntx_align*tile_w) output blocks tile the
+        padded image exactly; the extra tiles are empty/cropped."""
         ntx = -(-width // tile_w)
+        ntx = -(-ntx // ntx_align) * ntx_align
         nty = -(-height // tile_h)
         grid = TileGrid(tile_h, tile_w, ntx, nty)
         assert grid.num_tiles <= MAX_TILES, (
@@ -52,13 +68,21 @@ class TileGrid(NamedTuple):
         )
         return grid
 
+    @property
+    def padded_height(self) -> int:
+        return self.nty * self.tile_h
+
+    @property
+    def padded_width(self) -> int:
+        return self.ntx * self.tile_w
+
 
 class Binned(NamedTuple):
-    gidx: jax.Array         # [k_cap] int32: sorted instance -> Gaussian index
-    tile_starts: jax.Array  # [num_tiles + 1] int32 instance-range boundaries
-    sort_keys: jax.Array    # [k_cap] int32 packed keys (sorted; SENTINEL = pad)
-    num_instances: jax.Array  # scalar int32 (clamped to k_cap)
-    num_dropped: jax.Array    # scalar int32
+    gidx: jax.Array         # [k_cap] int32: slot -> Gaussian index (n = dummy)
+    tile_starts: jax.Array  # [num_tiles + 1] int32, all multiples of PAD_ALIGN
+    sort_keys: jax.Array    # [k_cap] int32 packed keys (SENTINEL = padding)
+    num_instances: jax.Array  # scalar int32 — real instances kept
+    num_dropped: jax.Array    # scalar int32 — instances lost to k_cap
 
 
 def depth_key(depths: jax.Array) -> jax.Array:
@@ -94,8 +118,11 @@ def bin_gaussians(
     k_cap: int,
 ) -> Binned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
-    tile, sorted by (tile, quantized depth)."""
+    tile, sorted by (tile, quantized depth), in the chunk-aligned layout."""
     n = means2d.shape[0]
+    assert k_cap % PAD_ALIGN == 0, "k_cap must be a multiple of PAD_ALIGN"
+    num_tiles = grid.num_tiles
+
     active = radii > 0
     x0, y0, x1, y1 = tile_rects(means2d, radii, grid)
     w = x1 - x0 + 1
@@ -104,8 +131,7 @@ def bin_gaussians(
 
     offsets = jnp.cumsum(counts) - counts  # exclusive
     total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
-    num_instances = jnp.minimum(total, k_cap)
-    num_dropped = jnp.maximum(total - k_cap, 0)
+    num_raw = jnp.minimum(total, k_cap)
 
     # Slot -> Gaussian map: scatter a 1 at each active Gaussian's start offset
     # (only where count > 0; empty Gaussians share offsets with successors),
@@ -122,36 +148,62 @@ def bin_gaussians(
     compact = compact.at[jnp.where(counts > 0, active_ord, n)].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
-    gidx = compact[ordinal]
+    gidx_raw = compact[ordinal]
 
     slot = jnp.arange(k_cap, dtype=jnp.int32)
-    in_range = slot < num_instances
+    in_range = slot < num_raw
 
-    li = slot - offsets[gidx]
-    gw = w[gidx]
-    tx = x0[gidx] + li % jnp.maximum(gw, 1)
-    ty = y0[gidx] + li // jnp.maximum(gw, 1)
+    li = slot - offsets[gidx_raw]
+    gw = jnp.maximum(w[gidx_raw], 1)
+    tx = x0[gidx_raw] + li % gw
+    ty = y0[gidx_raw] + li // gw
     tile_id = ty * grid.ntx + tx
 
-    dkey = depth_key(depths)[gidx]
-    key = jnp.where(
-        in_range,
-        jax.lax.shift_left(tile_id, TILE_SHIFT) | dkey,
-        SENTINEL,
-    )
+    dkey = depth_key(depths)[gidx_raw]
+    key = jnp.where(in_range, jax.lax.shift_left(tile_id, TILE_SHIFT) | dkey, SENTINEL)
 
-    key_sorted, gidx_sorted = jax.lax.sort((key, gidx), num_keys=1)
+    key_sorted, gidx_sorted = jax.lax.sort((key, gidx_raw), num_keys=1)
 
-    # Per-tile ranges via binary search on the sorted keys.
+    # Raw (unpadded) per-tile ranges via binary search on the sorted keys.
     queries = jax.lax.shift_left(
-        jnp.arange(grid.num_tiles + 1, dtype=jnp.int32), TILE_SHIFT
+        jnp.arange(num_tiles + 1, dtype=jnp.int32), TILE_SHIFT
     )
-    tile_starts = jnp.searchsorted(key_sorted, queries, side="left").astype(jnp.int32)
+    raw_starts = jnp.searchsorted(key_sorted, queries, side="left").astype(jnp.int32)
+    tile_counts = raw_starts[1:] - raw_starts[:-1]  # [T]
+
+    # Chunk-aligned layout: pad each tile's range up to PAD_ALIGN slots.
+    padded_counts = -(-tile_counts // PAD_ALIGN) * PAD_ALIGN
+    padded_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts)]
+    )
+    padded_starts = jnp.minimum(padded_starts, k_cap)  # clamp keeps 128-align
+
+    # Scatter sorted instances into their padded positions.
+    sorted_tile = jax.lax.shift_right_logical(key_sorted, TILE_SHIFT)
+    sorted_tile = jnp.minimum(sorted_tile, num_tiles)  # sentinels -> T bucket
+    rank = slot - raw_starts[jnp.minimum(sorted_tile, num_tiles - 1)]
+    new_pos = jnp.where(
+        (slot < num_raw),
+        padded_starts[jnp.minimum(sorted_tile, num_tiles - 1)] + rank,
+        k_cap,
+    )
+    # Positions pushed past the end of their (clamped) padded range overflow.
+    tile_end = padded_starts[jnp.minimum(sorted_tile + 1, num_tiles)]
+    overflow = new_pos >= tile_end
+    new_pos = jnp.where(overflow, k_cap, new_pos)
+
+    gidx_padded = jnp.full((k_cap,), n, jnp.int32)
+    gidx_padded = gidx_padded.at[new_pos].set(gidx_sorted, mode="drop")
+    keys_padded = jnp.full((k_cap,), SENTINEL, jnp.int32)
+    keys_padded = keys_padded.at[new_pos].set(key_sorted, mode="drop")
+
+    num_kept = jnp.sum((new_pos < k_cap).astype(jnp.int32))
+    num_dropped = total - num_kept
 
     return Binned(
-        gidx=gidx_sorted,
-        tile_starts=tile_starts,
-        sort_keys=key_sorted,
-        num_instances=num_instances,
+        gidx=gidx_padded,
+        tile_starts=padded_starts,
+        sort_keys=keys_padded,
+        num_instances=num_kept,
         num_dropped=num_dropped,
     )

@@ -1,0 +1,443 @@
+"""Pallas TPU kernels for tile-based alpha compositing (forward + backward).
+
+TPU-native replacement for the CUDA per-tile blend kernels (SURVEY.md §2.3
+item 1): instead of one thread per pixel walking Gaussians with shared-memory
+staging and atomics, each grid program owns a (16, 128) pixel block (= 8
+adjacent 16x16 tiles) and walks each tile's depth-sorted instance list in
+128-instance chunks DMA'd from HBM, expressing the whole per-chunk compute as
+MXU matmuls:
+
+  * the quadratic splat exponent is a [P,6]x[6,M] contraction against pixel
+    monomials (1, x, y, x^2, y^2, xy) in tile-local coordinates,
+  * the sequential front-to-back transmittance recurrence becomes a prefix
+    sum of log(1 - alpha) over the chunk via a triangular-matrix matmul
+    (T_i = exp(carry + cumsum_excl L)), with a per-pixel scalar carry across
+    chunks,
+  * channel accumulation is a [P,M]x[M,11] matmul.
+
+The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with a
+two-pass-per-chunk scheme: pass 1 locates each pixel's first crossing from
+the unmasked trajectory (identical up to the first crossing), pass 2 re-runs
+the prefix sum with post-crossing instances excluded, freezing T exactly as
+the sequential loop does. Whole chunks are skipped once every pixel in the
+tile has crossed (lax.while_loop).
+
+The backward pass needs no atomics: binning's chunk-aligned layout gives every
+128-instance chunk to exactly one tile, so per-instance gradients are written
+to disjoint [17,128] HBM slices; the transpose of the payload gather (an XLA
+scatter-add outside this kernel) reduces instance grads onto Gaussians. The
+suffix sums of the compositing backward are rewritten as
+(global - inclusive prefix), so both backward sweeps walk chunks FORWARD
+(sweep A accumulates the per-pixel total G = sum_i w_i dw_i; sweep B forms
+per-instance gradients) — no reverse traversal, no stored trajectories.
+
+Semantics match vegs_tpu.ops.blend_ref exactly (the golden spec).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import PAD_ALIGN, TileGrid
+from .blend_ref import ALPHA_CLAMP, ALPHA_MIN, N_ACCUM, OUT_CHANNELS, PAYLOAD_ROWS, T_EPS
+
+CHUNK = PAD_ALIGN          # instances per chunk (=128, the aligned unit)
+ROWS_PAD = 24              # payload rows padded 17 -> 24 (sublane tiling of 8)
+TILES_PER_PROG = 8         # 8 adjacent 16x16 tiles = one (16,128) block
+NEG_CAP = -80.0            # clamp for log-transmittance (exp(-80) ~ 1e-35)
+
+
+def _tri(strict: bool) -> jax.Array:
+    """[CHUNK, CHUNK] f32: M[j, i] = 1 where j < i (strict) or j <= i.
+
+    Used as X @ M to compute prefix sums over the instance axis.
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return ((j < i) if strict else (j <= i)).astype(jnp.float32)
+
+
+def _pixel_monomials(tile_h: int, tile_w: int) -> jax.Array:
+    """[P, 6] tile-local pixel monomials (1, x, y, x^2, y^2, xy)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (tile_h * tile_w, 1), 0)
+    y = (p // tile_w).astype(jnp.float32)
+    x = (p % tile_w).astype(jnp.float32)
+    one = jnp.ones_like(x)
+    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)  # [P, 6]
+
+
+def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
+    """Shared fwd/bwd per-chunk compute: returns (include, T, alpha, expp,
+    notclamped, new_logT, new_crossed, geom_rows).
+
+    chunk: [17, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
+    All pixel-major ([P, CHUNK]) to keep instance on the lane axis.
+    """
+    f32 = jnp.float32
+    mx = chunk[0:1, :] - ox            # [1, C] tile-local
+    my = chunk[1:2, :] - oy
+    ca = chunk[2:3, :]
+    cb = chunk[3:4, :]
+    cc = chunk[4:5, :]
+    op = chunk[5:6, :]
+
+    # Quadratic-form coefficients against (1, x, y, x^2, y^2, xy).
+    q = jnp.concatenate(
+        [
+            -0.5 * ca * mx * mx - 0.5 * cc * my * my - cb * mx * my,
+            ca * mx + cb * my,
+            cc * my + cb * mx,
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+        ],
+        axis=0,
+    )  # [6, C]
+    power = jax.lax.dot_general(
+        mono, q, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )  # [P, C]
+
+    expp = jnp.exp(power)
+    alpha_raw = op * expp  # broadcast [1,C] * [P,C]
+    notclamped = alpha_raw < ALPHA_CLAMP
+    valid = (power <= 0.0) & (alpha_raw >= ALPHA_MIN) & (carry_crossed == 0.0)
+    alpha = jnp.where(valid, jnp.minimum(alpha_raw, ALPHA_CLAMP), 0.0)
+
+    tril_s = _tri(strict=True)
+
+    # Pass 1: unmasked trajectory locates the first crossing per pixel.
+    L = jnp.log1p(-alpha)
+    S = jax.lax.dot_general(L, tril_s, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)  # excl prefix [P, C]
+    logT = jnp.maximum(carry_logT + S, NEG_CAP)
+    T1 = jnp.exp(logT)
+    crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
+    cross_before = jax.lax.dot_general(
+        crossing, tril_s, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ) > 0.0
+    include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
+
+    # Pass 2: exact trajectory over the final inclusion set.
+    alpha_inc = jnp.where(include, alpha, 0.0)
+    Li = jnp.log1p(-alpha_inc)
+    Si = jax.lax.dot_general(Li, tril_s, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    Ti = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
+
+    new_logT = jnp.maximum(
+        carry_logT + jnp.sum(Li, axis=1, keepdims=True), NEG_CAP
+    )
+    new_crossed = jnp.maximum(
+        carry_crossed, jnp.max(crossing, axis=1, keepdims=True)
+    )
+    geom = (mx, my, ca, cb, cc, op)
+    return include, Ti, alpha_inc, expp, notclamped, new_logT, new_crossed, geom
+
+
+def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, dma_sem, *,
+                ntx: int, tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    p = tile_h * tile_w
+    mono = _pixel_monomials(tile_h, tile_w)
+
+    def tile_body(jt, _):
+        tile_id = i * ntx + j * TILES_PER_PROG + jt
+        start = starts_ref[tile_id]
+        end = starts_ref[tile_id + 1]
+        nchunks = (end - start) // CHUNK
+        ox = ((j * TILES_PER_PROG + jt) * tile_w).astype(jnp.float32)
+        oy = (i * tile_h).astype(jnp.float32)
+
+        def cond(state):
+            c, acc, logT, crossed = state
+            return (c < nchunks) & (jnp.min(crossed) < 1.0)
+
+        def body(state):
+            c, acc, logT, crossed = state
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            cp = pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(off, CHUNK)], chunk_vmem, dma_sem
+            )
+            cp.start()
+            cp.wait()
+            chunk = chunk_vmem[:, :]
+            include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
+                chunk, ox, oy, mono, logT, crossed
+            )
+            w = alpha_inc * Ti  # [P, C]
+            acc = acc + jax.lax.dot_general(
+                w, chunk[6:6 + N_ACCUM, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [P, 11]
+            return c + 1, acc, logT, crossed
+
+        state = (
+            jnp.int32(0),
+            jnp.zeros((p, N_ACCUM), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+        )
+        _, acc, logT, _ = jax.lax.while_loop(cond, body, state)
+
+        block = jnp.concatenate([acc, jnp.exp(logT)], axis=1)  # [P, 12]
+        block = block.reshape(tile_h, tile_w, OUT_CHANNELS)
+        out_ref[:, :, pl.ds(jt * tile_w, tile_w)] = jnp.transpose(block, (2, 0, 1))
+        return 0
+
+    jax.lax.fori_loop(0, TILES_PER_PROG, tile_body, 0)
+
+
+def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
+                chunk_vmem, dgrad_vmem, dma_sem, wr_sem, *,
+                ntx: int, tile_h: int, tile_w: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    p = tile_h * tile_w
+    f32 = jnp.float32
+    mono = _pixel_monomials(tile_h, tile_w)
+    tri_full = _tri(strict=False)
+
+    def tile_body(jt, _):
+        tile_id = i * ntx + j * TILES_PER_PROG + jt
+        start = starts_ref[tile_id]
+        end = starts_ref[tile_id + 1]
+        nchunks = (end - start) // CHUNK
+        ox = ((j * TILES_PER_PROG + jt) * tile_w).astype(f32)
+        oy = (i * tile_h).astype(f32)
+
+        # Cotangents for this tile, pixel-major.
+        dblock = dout_ref[:, :, pl.ds(jt * tile_w, tile_w)]  # [12, th, tw]
+        dpix = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
+        dout_acc = dpix[:, :N_ACCUM]          # [P, 11]
+        dT_fin = dpix[:, N_ACCUM:N_ACCUM + 1]  # [P, 1]
+
+        def read_chunk(c, start=start):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            cp = pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(off, CHUNK)], chunk_vmem, dma_sem
+            )
+            cp.start()
+            cp.wait()
+            return chunk_vmem[:, :]
+
+        # ---- Sweep A: per-pixel total G = sum_i w_i dw_i and final logT ----
+        def bodyA(state):
+            c, G, logT, crossed = state
+            chunk = read_chunk(c)
+            include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
+                chunk, ox, oy, mono, logT, crossed
+            )
+            w = alpha_inc * Ti
+            dw = jax.lax.dot_general(
+                dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [P, C]
+            G = G + jnp.sum(w * dw, axis=1, keepdims=True)
+            return c + 1, G, logT, crossed
+
+        def condA(state):
+            c, G, logT, crossed = state
+            return (c < nchunks) & (jnp.min(crossed) < 1.0)
+
+        c_stop, G, logT_fin, _ = jax.lax.while_loop(
+            condA,
+            bodyA,
+            (jnp.int32(0), jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
+             jnp.zeros((p, 1), f32)),
+        )
+        T_fin = jnp.exp(logT_fin)
+        tail = G + T_fin * dT_fin  # [P, 1] suffix contribution shared by all i
+
+        # ---- Sweep B: per-instance gradients, chunks forward ----
+        def bodyB(state):
+            c, cum, logT, crossed = state
+            chunk = read_chunk(c)
+            include, Ti, alpha_inc, expp, notclamped, logT, crossed, geom = (
+                _chunk_common(chunk, ox, oy, mono, logT, crossed)
+            )
+            mx, my, ca, cb, cc, op = geom
+            w = alpha_inc * Ti
+            dw = jax.lax.dot_general(
+                dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [P, C]
+            wdw = w * dw
+            cum_incl = cum + jax.lax.dot_general(
+                wdw, tri_full, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [P, C] inclusive prefix (global order)
+            dL = tail - cum_incl  # [P, C]
+            inc_f = include.astype(f32)
+            dalpha = (Ti * dw - dL / (1.0 - alpha_inc)) * inc_f
+            ncl = notclamped.astype(f32) * inc_f
+            dpower = dalpha * alpha_inc * ncl  # alpha_inc == alpha_raw when unclamped
+            dop_col = dalpha * expp * ncl
+
+            # dQ rows-major [6, C] to match payload-row orientation.
+            dq = jax.lax.dot_general(
+                mono, dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [6, C]
+            dq1, dqx, dqy = dq[0:1], dq[1:2], dq[2:3]
+            dqxx, dqyy, dqxy = dq[3:4], dq[4:5], dq[5:6]
+            dmx = dq1 * (-ca * mx - cb * my) + dqx * ca + dqy * cb
+            dmy = dq1 * (-cc * my - cb * mx) + dqx * cb + dqy * cc
+            dca = dq1 * (-0.5 * mx * mx) + dqx * mx - 0.5 * dqxx
+            dcb = dq1 * (-mx * my) + dqx * my + dqy * mx - dqxy
+            dcc = dq1 * (-0.5 * my * my) + dqy * my - 0.5 * dqyy
+            dop = jax.lax.dot_general(
+                jnp.ones((1, p), f32), dop_col, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [1, C]
+            dchan = jax.lax.dot_general(
+                dout_acc, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # [11, C]
+
+            dgrad_vmem[:, :] = jnp.concatenate(
+                [dmx, dmy, dca, dcb, dcc, dop, dchan,
+                 jnp.zeros((ROWS_PAD - PAYLOAD_ROWS, CHUNK), f32)], axis=0
+            )  # [24, C] (rows >= 17 are tiling pad)
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            wr = pltpu.make_async_copy(
+                dgrad_vmem, dpay_hbm.at[:, pl.ds(off, CHUNK)], wr_sem
+            )
+            wr.start()
+            wr.wait()
+
+            cum = cum + jnp.sum(wdw, axis=1, keepdims=True)
+            return c + 1, cum, logT, crossed
+
+        def condB(state):
+            c = state[0]
+            return c < c_stop  # same chunk range sweep A visited
+
+        _ = jax.lax.while_loop(
+            condB,
+            bodyB,
+            (jnp.int32(0), jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
+             jnp.zeros((p, 1), f32)),
+        )
+
+        # Chunks beyond c_stop (all pixels crossed early) still need zero
+        # gradients written — their slots are real instances with no grad.
+        def bodyZ(c, _):
+            dgrad_vmem[:, :] = jnp.zeros((ROWS_PAD, CHUNK), f32)
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            wr = pltpu.make_async_copy(
+                dgrad_vmem, dpay_hbm.at[:, pl.ds(off, CHUNK)], wr_sem
+            )
+            wr.start()
+            wr.wait()
+            return 0
+
+        jax.lax.fori_loop(c_stop, nchunks, bodyZ, 0)
+        return 0
+
+    jax.lax.fori_loop(0, TILES_PER_PROG, tile_body, 0)
+
+
+def _grid_dims(grid: TileGrid):
+    assert grid.ntx % TILES_PER_PROG == 0
+    return grid.nty, grid.ntx // TILES_PER_PROG
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _blend_fwd_impl(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: int):
+    nty, njg = _grid_dims(grid)
+    # Mosaic requires DMA slice shapes aligned to the (8,128) tiling: pad the
+    # 17 payload rows to 24. The kernels only read rows < PAYLOAD_ROWS.
+    payload_sorted = jnp.pad(
+        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0))
+    )
+    kernel = functools.partial(
+        _fwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nty, njg),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
+                lambda i, j, *refs: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((OUT_CHANNELS, hp, wp), jnp.float32),
+        interpret=_use_interpret(),
+    )(tile_starts, payload_sorted)
+
+
+def _blend_bwd_impl(payload_sorted, tile_starts, dout, grid: TileGrid):
+    nty, njg = _grid_dims(grid)
+    k_cap = payload_sorted.shape[1]
+    payload_sorted = jnp.pad(
+        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0))
+    )
+    kernel = functools.partial(
+        _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w
+    )
+    dpay = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nty, njg),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # payload
+                pl.BlockSpec(
+                    (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
+                    lambda i, j, *refs: (0, i, j),
+                    memory_space=pltpu.VMEM,
+                ),  # dout
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ROWS_PAD, k_cap), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_use_interpret(),
+    )(tile_starts, payload_sorted, dout)
+    # Slots past the last tile boundary were never written by any program —
+    # zero them (their gidx is the dummy column anyway, but keep them clean).
+    k = jnp.arange(k_cap, dtype=jnp.int32)
+    return jnp.where(k[None, :] < tile_starts[-1], dpay[:PAYLOAD_ROWS], 0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blend(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: int):
+    """Composite sorted instances into a [12, hp, wp] image (spec: blend_ref)."""
+    return _blend_fwd_impl(payload_sorted, tile_starts, grid, hp, wp)
+
+
+def _blend_vjp_fwd(payload_sorted, tile_starts, grid, hp, wp):
+    out = _blend_fwd_impl(payload_sorted, tile_starts, grid, hp, wp)
+    return out, (payload_sorted, tile_starts)
+
+
+def _blend_vjp_bwd(grid, hp, wp, residuals, dout):
+    payload_sorted, tile_starts = residuals
+    dpay = _blend_bwd_impl(payload_sorted, tile_starts, dout, grid)
+    return dpay, None
+
+
+blend.defvjp(_blend_vjp_fwd, _blend_vjp_bwd)

@@ -122,6 +122,9 @@ def rasterize(
         grid,
         config.k_cap,
     )
+    # Dummy zero-opacity column at index n absorbs the padding slots
+    # (binning's chunk-aligned layout points them at gidx == n).
+    payload = jnp.pad(payload, ((0, 0), (0, 1)))
     payload_sorted = payload[:, binned.gidx]  # [17, k_cap]; transpose=scatter-add
 
     backend = _resolve_backend(config.backend)
