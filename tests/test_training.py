@@ -1,0 +1,120 @@
+"""End-to-end training smoke: loss goes down, densify runs, dynamic boxes move."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vegs_tpu import gaussians
+from vegs_tpu.config import VegsConfig, ModelParams
+from vegs_tpu.ops.rasterize import RasterizeConfig
+from vegs_tpu.scene import Scene, dataset_readers
+from vegs_tpu.train import Trainer, eval_render
+
+RASTER = RasterizeConfig(backend="dense", k_cap=1 << 13)
+
+
+def _toy_scene_info(rng, n_pts=150, n_cams=6, with_box=False):
+    pts = rng.normal(size=(n_pts, 3)).astype(np.float32) * 0.8
+    cols = rng.uniform(0.2, 0.8, (n_pts, 3)).astype(np.float32)
+    pcd = dataset_readers.BasicPointCloud(pts, cols)
+    cams = dataset_readers.generateRandomCameras(
+        n_cams, camera_distance=4.0, width=64, height=48)
+    info = dataset_readers.SceneInfo(
+        point_cloud=pcd, train_cameras=cams[:-1], test_cameras=cams[-1:],
+        nerf_normalization=dataset_readers.getNerfppNorm(cams, pcd),
+        ply_path="",
+    )
+    if with_box:
+        class Box:
+            def __init__(self, m):
+                self.box2world = m
+
+        b2w = np.eye(4)
+        b2w[:3, 3] = [0.0, 0.0, 0.5]
+        dyn_pts = rng.uniform(-0.45, 0.45, (48, 3)).astype(np.float32)
+        dyn_world = dyn_pts + b2w[:3, 3]
+        info.dyn_point_cloud = dataset_readers.DynamicPointCloud(
+            points=dyn_world, colors=np.full((48, 3), 0.6, np.float32),
+            instances=np.full(48, 26001), timestamps=np.full(48, 0),
+        )
+        info.train_bboxes = {0: {26001: Box(b2w)}}
+        info.instances_info = [26001]
+    return info
+
+
+def _make_trainer(tmp_path, rng, info, **cfg_overrides):
+    cfg = VegsConfig()
+    cfg.model.model_path = str(tmp_path / "model")
+    cfg.opt.densify_from_iter = 4
+    cfg.opt.densification_interval = 8
+    cfg.opt.densify_until_iter = 100
+    cfg.opt.opacity_reset_interval = 10_000
+    for k, v in cfg_overrides.items():
+        setattr(cfg.opt, k, v)
+    scene = Scene(cfg.model, scene_info=info, shuffle=False)
+    # Render "ground truth" images from the initial field + perturb: use the
+    # initial field's own renders as GT so the loss is achievable.
+    tr = Trainer(cfg, scene, raster_cfg=RASTER)
+    for cam in scene.train_cameras + scene.test_cameras:
+        out = eval_render(tr.state.field, cam.device_params(), tr.bg, 3, RASTER)
+        cam.image = np.clip(np.asarray(out.rgb), 0, 1)
+    return tr
+
+
+def test_static_training_descends(tmp_path, rng):
+    info = _toy_scene_info(rng)
+    # Pure-optimization check: the default densify threshold is calibrated for
+    # real-scene NDC gradients and over-densifies 48x64 toy scenes.
+    tr = _make_trainer(tmp_path, rng, info, densify_from_iter=10**9)
+    # perturb colors so there is something to learn
+    f = tr.state.field
+    noisy = f.replace(sh_dc=f.sh_dc + 0.35)
+    tr.state = tr.state.replace(field=noisy)
+    losses = [tr.train_iteration(it)["loss"] for it in range(1, 41)]
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+    e = tr.evaluate()
+    assert e["psnr"] > 22
+
+
+def test_densification_changes_capacity(tmp_path, rng):
+    info = _toy_scene_info(rng)
+    tr = _make_trainer(tmp_path, rng, info,
+                       densify_grad_threshold=1e-9)  # force clones/splits
+    n0 = int(tr.state.field.num_active())
+    for it in range(1, 20):
+        tr.train_iteration(it)
+    n1 = int(tr.state.field.num_active())
+    assert n1 > n0  # forced densification grew the field
+
+
+def test_dynamic_box_training(tmp_path, rng):
+    info = _toy_scene_info(rng, with_box=True)
+    tr = _make_trainer(tmp_path, rng, info)
+    assert 26001 in tr.box_fields
+    cams_with_box = [c for c in tr.scene.train_cameras if c.frame == 0]
+    for it in range(1, 6):
+        m = tr.train_iteration(it, camera=cams_with_box[it % len(cams_with_box)])
+        assert np.isfinite(m["loss"])
+    # deltas got created and updated for frame 0
+    assert (0, 26001) in tr.frame_deltas
+    d = tr.frame_deltas[(0, 26001)]
+    assert np.isfinite(np.asarray(d.delta_t)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    info = _toy_scene_info(rng)
+    tr = _make_trainer(tmp_path, rng, info)
+    tr.train_iteration(1)
+    tr.save_checkpoint(1)
+    import orbax.checkpoint as ocp
+
+    path = (tmp_path / "model" / "checkpoints" / "1").resolve()
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(path)
+    assert "state" in raw
+    np.testing.assert_allclose(
+        raw["state"]["field"]["means"], np.asarray(tr.state.field.means))

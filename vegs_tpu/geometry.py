@@ -26,8 +26,14 @@ import numpy as np
 
 
 def quat_normalize(q: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """Normalize quaternion(s) [..., 4] to unit norm."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Normalize quaternion(s) [..., 4] to unit norm.
+
+    Gradient-safe at q == 0 (the max() picks the eps branch before the sqrt,
+    so autodiff never sees d(sqrt)/d(0) — zero-padded slots in fixed-capacity
+    fields would otherwise poison the whole quaternion gradient with NaNs).
+    """
+    sq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q / jnp.sqrt(jnp.maximum(sq, eps * eps))
 
 
 def quat_standardize(q: jax.Array) -> jax.Array:
@@ -271,6 +277,33 @@ def projection_matrix(
 
 def math_tan(x: float) -> float:
     return float(np.tan(x))
+
+
+def projection_matrix_from_K(
+    znear: float, zfar: float, fovx: float, fovy: float,
+    fx: float, fy: float, cx: float, cy: float, w: float, h: float,
+) -> np.ndarray:
+    """Principal-point-aware projection, exact port of the reference's
+    getProjectionMatrixwithPrincipalPointOffset semantics
+    (graphics_utils.py:305-337), including its (zfar+znear)/(zfar-znear)
+    depth row (which differs from the plain variant)."""
+    tany = np.tan(fovy * 0.5)
+    tanx = np.tan(fovx * 0.5)
+    top_c = tany * znear
+    right_c = tanx * znear
+    dx = (cx - w / 2) / fx * znear
+    dy = (cy - h / 2) / fy * znear
+    top, bottom = top_c + dy, -top_c + dy
+    left, right = -right_c + dx, right_c + dx
+    P = np.zeros((4, 4), dtype=np.float32)
+    P[0, 0] = 2.0 * znear / (right - left)
+    P[1, 1] = 2.0 * znear / (top - bottom)
+    P[0, 2] = (right + left) / (right - left)
+    P[1, 2] = (top + bottom) / (top - bottom)
+    P[3, 2] = 1.0
+    P[2, 2] = (zfar + znear) / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    return P
 
 
 def fov_to_focal(fov: float, pixels: float) -> float:

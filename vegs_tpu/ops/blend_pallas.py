@@ -139,8 +139,8 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     return include, Ti, alpha_inc, expp, notclamped, new_logT, new_crossed, geom
 
 
-def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, dma_sem, *,
-                ntx: int, tile_h: int, tile_w: int):
+def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, acc_scratch,
+                dma_sem, *, ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
@@ -185,16 +185,20 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, dma_sem, *,
         )
         _, acc, logT, _ = jax.lax.while_loop(cond, body, state)
 
-        block = jnp.concatenate([acc, jnp.exp(logT)], axis=1)  # [P, 12]
-        block = block.reshape(tile_h, tile_w, OUT_CHANNELS)
-        out_ref[:, :, pl.ds(jt * tile_w, tile_w)] = jnp.transpose(block, (2, 0, 1))
+        # Dynamic-lane stores are not provably 128-aligned; stage per-tile
+        # results in scratch (leading-dim dynamic index is fine) and copy out
+        # with static offsets below.
+        acc_scratch[jt] = jnp.concatenate([acc, jnp.exp(logT)], axis=1)  # [P, 12]
         return 0
 
     jax.lax.fori_loop(0, TILES_PER_PROG, tile_body, 0)
+    for jt in range(TILES_PER_PROG):  # static unroll: aligned-enough stores
+        block = acc_scratch[jt].reshape(tile_h, tile_w, OUT_CHANNELS)
+        out_ref[:, :, jt * tile_w:(jt + 1) * tile_w] = jnp.transpose(block, (2, 0, 1))
 
 
 def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
-                chunk_vmem, dgrad_vmem, dma_sem, wr_sem, *,
+                chunk_vmem, dgrad_vmem, dpix_scratch, dma_sem, wr_sem, *,
                 ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -202,6 +206,12 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
     f32 = jnp.float32
     mono = _pixel_monomials(tile_h, tile_w)
     tri_full = _tri(strict=False)
+
+    # Pre-stage per-tile cotangents pixel-major (static lane offsets here;
+    # inside tile_body only the leading dim is dynamically indexed).
+    for jt_s in range(TILES_PER_PROG):
+        dblock = dout_ref[:, :, jt_s * tile_w:(jt_s + 1) * tile_w]  # [12, th, tw]
+        dpix_scratch[jt_s] = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
 
     def tile_body(jt, _):
         tile_id = i * ntx + j * TILES_PER_PROG + jt
@@ -211,9 +221,7 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
         ox = ((j * TILES_PER_PROG + jt) * tile_w).astype(f32)
         oy = (i * tile_h).astype(f32)
 
-        # Cotangents for this tile, pixel-major.
-        dblock = dout_ref[:, :, pl.ds(jt * tile_w, tile_w)]  # [12, th, tw]
-        dpix = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
+        dpix = dpix_scratch[jt]               # [P, 12]
         dout_acc = dpix[:, :N_ACCUM]          # [P, 11]
         dT_fin = dpix[:, N_ACCUM:N_ACCUM + 1]  # [P, 1]
 
@@ -375,6 +383,10 @@ def _blend_fwd_impl(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: in
             ),
             scratch_shapes=[
                 pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.VMEM(
+                    (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
+                    jnp.float32,
+                ),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -409,6 +421,10 @@ def _blend_bwd_impl(payload_sorted, tile_starts, dout, grid: TileGrid):
             scratch_shapes=[
                 pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
                 pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.VMEM(
+                    (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
+                    jnp.float32,
+                ),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],

@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from .. import sh as sh_lib
 
@@ -30,21 +31,23 @@ ZNEAR = 0.2
 LOWPASS = 0.3
 
 
-class CameraParams(NamedTuple):
-    """Device-side camera parameters (static shapes, float32)."""
+@struct.dataclass
+class CameraParams:
+    """Device-side camera parameters. Image dims are static (pytree aux data)
+    so jitted renderers specialize per resolution; matrices are traced leaves.
 
-    viewmatrix: jax.Array   # [4, 4] world->view, row-vector convention NOT used:
-                            # stored as the reference does (transposed), see note
+    NOTE on conventions: following the reference (scene/cameras.py:76-87),
+    `viewmatrix`/`projmatrix` are stored TRANSPOSED, so points transform as
+    row-vectors: p_view = [x, 1] @ viewmatrix.
+    """
+
+    viewmatrix: jax.Array   # [4, 4] world->view (transposed storage)
     projmatrix: jax.Array   # [4, 4] full (view @ proj) transposed, for NDC
     campos: jax.Array       # [3]
     tan_fovx: jax.Array     # scalar
     tan_fovy: jax.Array     # scalar
-    height: int             # static
-    width: int              # static
-
-    # NOTE on conventions: following the reference (scene/cameras.py:76-87),
-    # `viewmatrix`/`projmatrix` are stored TRANSPOSED, so points transform as
-    # row-vectors: p_view = [x, 1] @ viewmatrix.
+    height: int = struct.field(pytree_node=False, default=0)
+    width: int = struct.field(pytree_node=False, default=0)
 
 
 class Projected(NamedTuple):
@@ -168,7 +171,8 @@ def project(
 
     # --- SH -> RGB --------------------------------------------------------
     dirs = means3d - cam.campos[None, :]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+    dir_sq = jnp.sum(dirs * dirs, axis=1, keepdims=True)
+    dirs = dirs / jnp.sqrt(jnp.maximum(dir_sq, 1e-24))  # grad-safe at 0
     k = sh_lib.num_sh_coeffs(sh_degree)
     rgb = sh_lib.eval_sh(sh_degree, jnp.swapaxes(shs[:, :k, :], 1, 2), dirs) + 0.5
     rgb = jnp.maximum(rgb, 0.0)

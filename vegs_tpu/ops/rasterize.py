@@ -102,18 +102,18 @@ def rasterize(
     quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
     scale_eff = scales * scale_modifier
 
-    payload = jnp.concatenate(
+    payload_rows_unpadded = jnp.concatenate(
         [
-            proj.means2d.T,                     # rows 0-1
-            proj.conics.T,                      # rows 2-4
-            proj.opacities[None, :],            # row 5
-            proj.rgb.T,                         # rows 6-8
-            proj.depths[None, :],               # row 9
-            quat_n.T,                           # rows 10-13
-            scale_eff.T,                        # rows 14-16
+            proj.means2d,                       # cols 0-1
+            proj.conics,                        # cols 2-4
+            proj.opacities[:, None],            # col 5
+            proj.rgb,                           # cols 6-8
+            proj.depths[:, None],               # col 9
+            quat_n,                             # cols 10-13
+            scale_eff,                          # cols 14-16
         ],
-        axis=0,
-    )  # [17, N]
+        axis=1,
+    )  # [N, 17]
 
     binned = binning.bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
@@ -122,10 +122,12 @@ def rasterize(
         grid,
         config.k_cap,
     )
-    # Dummy zero-opacity column at index n absorbs the padding slots
-    # (binning's chunk-aligned layout points them at gidx == n).
-    payload = jnp.pad(payload, ((0, 0), (0, 1)))
-    payload_sorted = payload[:, binned.gidx]  # [17, k_cap]; transpose=scatter-add
+    # Dummy zero-opacity row at index n absorbs the padding slots (binning's
+    # chunk-aligned layout points them at gidx == n). Gather along ROWS (fast
+    # contiguous gather; its autodiff transpose is a row scatter-add), then
+    # transpose into the blend kernel's [17, K] layout.
+    payload_rows = jnp.pad(payload_rows_unpadded, ((0, 1), (0, 0)))  # [n+1, 17]
+    payload_sorted = payload_rows[binned.gidx].T                     # [17, k_cap]
 
     backend = _resolve_backend(config.backend)
     if backend == "dense":

@@ -1,0 +1,481 @@
+"""Training driver.
+
+Capability parity with /root/reference/train.py:64-320 (the training() loop,
+densification_and_optimization, training_report) re-architected TPU-first:
+
+  * ONE jitted train step covering static + dynamic sub-models: box fields are
+    STACKED along a leading axis and padded to a fixed slot count, so the
+    step never retraces as objects enter/leave the frame (active mask
+    replaces the reference's per-frame Python dispatch, train.py:137-150).
+  * Losses: L1 + lambda_dssim * (1-SSIM) (train.py:161-164), optional
+    normal-guidance (166-168), box-delta regularization pulled into the same
+    step (274-278, boxmodel.py:44-49). The SD-guidance window plugs in via
+    vegs_tpu.losses.sd_guidance (171-193).
+  * Densify/prune is host-driven recompaction every densification_interval
+    (vegs_tpu.densify), with the NDC-scaled positional-gradient tap harvested
+    from the step's returned means2D cotangent slices (287-300).
+  * Checkpoints: orbax pytree state (params + Adam moments + densify stats +
+    step) replacing capture()/torch.save (280-284); PLY snapshots via
+    Scene.save for interop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import boxmodel, densify, gaussians, optim
+from .boxmodel import BoxDeltas
+from .config import VegsConfig
+from .gaussians import DensifyStats, GaussianField
+from .losses import l1_loss, loss_normal_guidance, psnr, ssim
+from .ops.projection import CameraParams
+from .ops.rasterize import RasterizeConfig
+from .render import field_arrays, transform_field_arrays, _concat_arrays, _run
+from .scene import Scene
+
+
+@struct.dataclass
+class BoxSlotState:
+    """Per-frame stacked dynamic-object state (fixed number of slots)."""
+
+    fields: GaussianField        # leaves [B, cap, ...]
+    opt: optim.AdamState         # stacked likewise
+    stats: DensifyStats          # [B, cap]
+    # note: deltas + their Adam are per (frame, instance) and live host-side;
+    # the step receives the current frame's stack.
+
+
+@struct.dataclass
+class TrainState:
+    field: GaussianField
+    opt: optim.AdamState
+    stats: DensifyStats
+    step: jax.Array
+
+
+def _stack_fields(fields: list[GaussianField], capacity: int) -> GaussianField:
+    """Stack box fields to [B, capacity, ...], padding capacity as needed."""
+    def pad_to(f: GaussianField) -> GaussianField:
+        extra = capacity - f.capacity
+        assert extra >= 0
+        rep = {}
+        for k in optim.PARAM_LEAVES:
+            v = getattr(f, k)
+            rep[k] = jnp.pad(v, [(0, extra)] + [(0, 0)] * (v.ndim - 1))
+        rep["valid"] = jnp.pad(f.valid, (0, extra))
+        return GaussianField(**rep)
+
+    padded = [pad_to(f) for f in fields]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
+def _unstack_field(stacked: GaussianField, i: int) -> GaussianField:
+    return jax.tree.map(lambda x: x[i], stacked)
+
+
+# ---------------------------------------------------------------------------
+# The jitted train step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
+                    use_normal_loss: bool, n_box_slots: int, box_lr_mult: float,
+                    boxmodel_lr: float, boxmodel_lambda_reg: float,
+                    sh_total_degree: int = 3):
+    """Build the jitted step for a given (static capacity, box slot count,
+    box capacity) bucket. Returns fn(state, box_state, deltas, delta_opt,
+    box2worlds, active, cam, gt, normal, normal_valid, active_sh_degree, bg)
+    -> (state, box_state, deltas, delta_opt, metrics, densify_aux)."""
+
+    lam_dssim = opt_cfg.lambda_dssim
+    lam_dnormal = opt_cfg.lambda_dnormal
+
+    def loss_fn(static_params, box_params, delta_params, state: TrainState,
+                box_state: Optional[BoxSlotState], box2worlds, active,
+                cam: CameraParams, gt, normal, normal_valid, active_sh_degree,
+                bg, m2d_offset):
+        field = optim.with_params(state.field, static_params)
+        parts = [field_arrays(field, active_sh_degree)]
+        caps = [field.capacity]
+        if n_box_slots:
+            bfields = optim.with_params(box_state.fields, box_params)
+            deltas = BoxDeltas(**delta_params)
+            b2w_adj = boxmodel.adjust_box2world(box2worlds, deltas)
+
+            def one(i):
+                bf = _unstack_field(bfields, i)
+                arr = field_arrays(bf, active_sh_degree)
+                arr = transform_field_arrays(arr, b2w_adj[i])
+                return arr._replace(valid=arr.valid & active[i])
+
+            parts += [one(i) for i in range(n_box_slots)]
+            caps += [bfields.capacity // 1 for _ in range(n_box_slots)]
+            # caps entry uses per-slot capacity
+            caps[1:] = [bfields.means.shape[1]] * n_box_slots
+        arrays = _concat_arrays(parts)
+
+        out = _run(cam, arrays, bg=bg, scale_modifier=1.0, override_color=None,
+                   sh_degree=sh_total_degree, config=raster_cfg,
+                   means2d_offset=m2d_offset)
+
+        ll1 = l1_loss(out.rgb, gt)
+        loss = (1.0 - lam_dssim) * ll1 + lam_dssim * (1.0 - ssim(out.rgb, gt))
+        nloss = jnp.float32(0.0)
+        if use_normal_loss:
+            nloss = loss_normal_guidance(out.cov_quat, out.cov_scale, normal)
+            loss = loss + lam_dnormal * nloss * normal_valid
+        reg = jnp.float32(0.0)
+        if n_box_slots:
+            deltas = BoxDeltas(**delta_params)
+            reg_each = (
+                jnp.linalg.norm(
+                    deltas.delta_r - jnp.array([1.0, 0, 0, 0]), axis=-1)
+                + jnp.linalg.norm(deltas.delta_s - 1.0, axis=-1)
+                + jnp.linalg.norm(deltas.delta_t, axis=-1)
+            )
+            reg = jnp.sum(reg_each * active.astype(jnp.float32))
+            loss = loss + boxmodel_lambda_reg * reg
+        aux = (out.radii, ll1, nloss, out.num_dropped)
+        return loss, aux
+
+    @jax.jit
+    def step_fn(state: TrainState, box_state, deltas: Optional[BoxDeltas],
+                delta_opt, box2worlds, active, cam: CameraParams, gt, normal,
+                normal_valid, active_sh_degree, bg):
+        static_params = optim.split_params(state.field)
+        box_params = (optim.split_params(box_state.fields)
+                      if n_box_slots else {})
+        delta_params = (dict(delta_r=deltas.delta_r, delta_s=deltas.delta_s,
+                             delta_t=deltas.delta_t) if n_box_slots else {})
+        total_n = state.field.capacity + (
+            n_box_slots * box_state.fields.means.shape[1] if n_box_slots else 0
+        )
+        m2d_offset = jnp.zeros((total_n, 2), jnp.float32)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 13),
+                                                has_aux=True)(
+            static_params, box_params, delta_params, state, box_state,
+            box2worlds, active, cam, gt, normal, normal_valid,
+            active_sh_degree, bg, m2d_offset,
+        )
+        g_static, g_box, g_delta, g_m2d = grads
+        radii, ll1, nloss, ndrop = aux
+
+        # NaN guard for box-delta grads (reference train.py:198-205).
+        if n_box_slots:
+            g_delta = {k: jnp.nan_to_num(v, nan=0.0) for k, v in g_delta.items()}
+
+        # -- static Adam + densify stats ---------------------------------
+        lrs = optim.field_lrs(opt_cfg, spatial_scale, state.step)
+        new_field, new_opt = optim.adam_step(state.field, g_static, state.opt, lrs)
+        c0 = state.field.capacity
+        new_stats = densify.update_stats(
+            state.stats, g_m2d[:c0], radii[:c0], cam.height, cam.width)
+        new_state = TrainState(field=new_field, opt=new_opt, stats=new_stats,
+                               step=state.step + 1)
+
+        # -- box fields + deltas ------------------------------------------
+        new_box_state = box_state
+        new_deltas, new_delta_opt = deltas, delta_opt
+        if n_box_slots:
+            bcap = box_state.fields.means.shape[1]
+            box_lrs = optim.field_lrs(opt_cfg, spatial_scale, state.step,
+                                      xyz_lr_mult=box_lr_mult)
+            bf2, bopt2 = optim.adam_step(
+                box_state.fields, g_box, box_state.opt, box_lrs)
+            # only active slots advance
+            act = active
+
+            def sel(new, old):
+                mask = act.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(mask, new, old)
+
+            bf2 = jax.tree.map(sel, bf2, box_state.fields)
+            bopt2 = optim.AdamState(
+                mu=jax.tree.map(sel, bopt2.mu, box_state.opt.mu),
+                nu=jax.tree.map(sel, bopt2.nu, box_state.opt.nu),
+                count=bopt2.count,
+            )
+            g_box_m2d = g_m2d[c0:].reshape(n_box_slots, bcap, 2)
+            b_radii = radii[c0:].reshape(n_box_slots, bcap)
+            bstats2 = jax.vmap(
+                lambda st, g, r: densify.update_stats(st, g, r, cam.height, cam.width)
+            )(box_state.stats, g_box_m2d, b_radii)
+            new_box_state = BoxSlotState(fields=bf2, opt=bopt2, stats=bstats2)
+
+            nd2, ndo2 = optim.tensor_adam_step(
+                dict(delta_r=deltas.delta_r, delta_s=deltas.delta_s,
+                     delta_t=deltas.delta_t),
+                g_delta, delta_opt, boxmodel_lr)
+            nd2 = {k: sel(v, getattr(deltas, k)) for k, v in nd2.items()}
+            new_deltas = BoxDeltas(**nd2)
+            new_delta_opt = ndo2
+
+        metrics = {
+            "loss": loss, "l1": ll1, "normal_loss": nloss,
+            "num_dropped": ndrop,
+        }
+        return (new_state, new_box_state, new_deltas, new_delta_opt, metrics)
+
+    return step_fn
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def eval_render(field: GaussianField, cam: CameraParams, bg,
+                sh_degree: int, raster_cfg: RasterizeConfig):
+    arrays = field_arrays(field, sh_degree)
+    return _run(cam, arrays, bg=bg, scale_modifier=1.0, override_color=None,
+                sh_degree=sh_degree, config=raster_cfg, means2d_offset=None)
+
+
+# ---------------------------------------------------------------------------
+# Host loop
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Host-side training orchestration for one scene."""
+
+    cfg: VegsConfig
+    scene: Scene
+    raster_cfg: RasterizeConfig = None
+    max_box_slots: int = 8
+    rng_seed: int = 7
+
+    def __post_init__(self):
+        cfg = self.cfg
+        if self.raster_cfg is None:
+            self.raster_cfg = RasterizeConfig(
+                backend=cfg.pipeline.backend, k_cap=cfg.pipeline.k_cap,
+                clamp_radius=cfg.pipeline.clamp_radius)
+        self.rng = np.random.default_rng(self.rng_seed)
+        self.key = jax.random.key(self.rng_seed)
+        self.spatial_scale = float(self.scene.cameras_extent)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0])
+
+        f = self.scene.gaussians
+        self.state = TrainState(
+            field=f, opt=optim.adam_init(f),
+            stats=DensifyStats.zeros(f.capacity), step=jnp.int32(0))
+
+        # dynamic objects: shared capacity bucket + per-(frame,inst) deltas
+        self.instances = list(self.scene.box_gaussians.keys())
+        self.box_caps = max(
+            [f.capacity for f in self.scene.box_gaussians.values()] or [0])
+        self.box_fields = dict(self.scene.box_gaussians)
+        self.box_opts = {
+            k: optim.adam_init(v) for k, v in self.box_fields.items()}
+        self.box_stats = {
+            k: DensifyStats.zeros(v.capacity) for k, v in self.box_fields.items()}
+        self.frame_deltas: dict = {}    # (frame, inst) -> BoxDeltas (unstacked)
+        self.frame_delta_opts: dict = {}
+        self._step_cache = {}
+        self.viewpoint_stack = []
+        self.metrics_log = []
+
+    # -- helpers -----------------------------------------------------------
+    def _next_camera(self):
+        if not self.viewpoint_stack:
+            self.viewpoint_stack = list(self.scene.getTrainCameras())
+        idx = self.rng.integers(len(self.viewpoint_stack))
+        return self.viewpoint_stack.pop(int(idx))
+
+    def _active_sh_degree(self, it: int) -> int:
+        # SH warm-up: one band every 1000 iterations (reference train.py:120).
+        return min(it // 1000, self.cfg.model.sh_degree)
+
+    def _frame_boxes(self, frame: int):
+        return self.scene.train_bboxes.get(int(frame), {})
+
+    def _get_step_fn(self, n_slots: int, static_cap: int, box_cap: int):
+        key = (n_slots, static_cap, box_cap)
+        if key not in self._step_cache:
+            cfg = self.cfg
+            self._step_cache[key] = make_train_step(
+                cfg.opt, self.raster_cfg, self.spatial_scale,
+                use_normal_loss=True, n_box_slots=n_slots,
+                box_lr_mult=cfg.opt.box_lr_mult,
+                boxmodel_lr=cfg.box.boxmodel_lr,
+                boxmodel_lambda_reg=cfg.box.boxmodel_lambda_reg,
+                sh_total_degree=cfg.model.sh_degree,
+            )
+        return self._step_cache[key]
+
+    # -- one iteration ------------------------------------------------------
+    def train_iteration(self, it: int, camera=None) -> dict:
+        cfg = self.cfg
+        cam = camera if camera is not None else self._next_camera()
+        cam_params = cam.device_params()
+        gt = jnp.asarray(cam.original_image)
+        wn = cam.world_normal()
+        normal = (jnp.asarray(wn) if wn is not None
+                  else jnp.zeros_like(gt))
+        normal_valid = jnp.float32(0.0 if wn is None else 1.0)
+
+        boxes = self._frame_boxes(getattr(cam, "frame", 0))
+        insts = [i for i in boxes if i in self.box_fields][: self.max_box_slots]
+        n_slots = len(insts)
+
+        # assemble stacked box state for this frame
+        if n_slots:
+            fields = _stack_fields([self.box_fields[i] for i in insts],
+                                   self.box_caps)
+            opts = jax.tree.map(lambda *x: jnp.stack(x),
+                                *[self.box_opts[i] for i in insts])
+            stats = jax.tree.map(lambda *x: jnp.stack(x),
+                                 *[self.box_stats[i] for i in insts])
+            box_state = BoxSlotState(fields=fields, opt=opts, stats=stats)
+            b2w = jnp.stack([
+                jnp.asarray(np.asarray(
+                    boxes[i].box2world if hasattr(boxes[i], "box2world")
+                    else boxes[i]), jnp.float32)
+                for i in insts])
+            active = jnp.ones((n_slots,), bool)
+            dkey = [(int(cam.frame), i) for i in insts]
+            deltas = jax.tree.map(lambda *x: jnp.stack(x), *[
+                self.frame_deltas.setdefault(k, BoxDeltas.identity())
+                for k in dkey])
+            dopts = jax.tree.map(lambda *x: jnp.stack(x), *[
+                self.frame_delta_opts.setdefault(
+                    k, optim.tensor_adam_init(dict(
+                        delta_r=jnp.zeros(4).at[0].set(1.0),
+                        delta_s=jnp.ones(3), delta_t=jnp.zeros(3))))
+                for k in dkey])
+        else:
+            box_state = deltas = dopts = None
+            b2w = jnp.zeros((0, 4, 4))
+            active = jnp.zeros((0,), bool)
+
+        step_fn = self._get_step_fn(
+            n_slots, self.state.field.capacity,
+            self.box_caps if n_slots else 0)
+        (self.state, box_state, deltas, dopts, metrics) = step_fn(
+            self.state, box_state, deltas, dopts, b2w, active, cam_params,
+            gt, normal, normal_valid,
+            jnp.int32(self._active_sh_degree(it)), self.bg)
+
+        # write back per-instance state
+        if n_slots:
+            for si, inst in enumerate(insts):
+                self.box_fields[inst] = _unstack_field(box_state.fields, si)
+                self.box_opts[inst] = jax.tree.map(lambda x: x[si], box_state.opt)
+                self.box_stats[inst] = jax.tree.map(lambda x: x[si], box_state.stats)
+                k = (int(cam.frame), inst)
+                self.frame_deltas[k] = jax.tree.map(lambda x: x[si], deltas)
+                self.frame_delta_opts[k] = jax.tree.map(lambda x: x[si], dopts)
+
+        # -- densification / opacity reset (host-driven) -------------------
+        o = cfg.opt
+        if o.densify_from_iter <= it <= o.densify_until_iter:
+            if it % o.densification_interval == 0 and it > o.densify_from_iter:
+                self.key, sub = jax.random.split(self.key)
+                max_screen = 20 if it > o.opacity_reset_interval else 0
+                f, opt, st, n = densify.densify_and_prune(
+                    self.state.field, self.state.opt, self.state.stats, sub,
+                    grad_threshold=o.densify_grad_threshold,
+                    percent_dense=o.percent_dense,
+                    extent=self.spatial_scale,
+                    max_screen_size=max_screen)
+                self.state = TrainState(field=f, opt=opt, stats=st,
+                                        step=self.state.step)
+                self.scene.gaussians = f
+        if it <= o.densify_until_iter_box and it % o.densification_interval == 0 \
+                and it > o.densify_from_iter:
+            for inst in list(self.box_fields.keys()):
+                self.key, sub = jax.random.split(self.key)
+                f, opt, st, n = densify.densify_and_prune(
+                    self.box_fields[inst], self.box_opts[inst],
+                    self.box_stats[inst], sub,
+                    grad_threshold=o.densify_grad_threshold,
+                    percent_dense=o.percent_dense, extent=1.0)
+                self.box_fields[inst] = f
+                self.box_opts[inst] = opt
+                self.box_stats[inst] = st
+            self.box_caps = max(
+                [f.capacity for f in self.box_fields.values()] or [0])
+        if it % o.opacity_reset_interval == 0 and it > 0 and \
+                it <= o.densify_until_iter:
+            f, opt = densify.reset_opacity(self.state.field, self.state.opt)
+            self.state = TrainState(field=f, opt=opt, stats=self.state.stats,
+                                    step=self.state.step)
+
+        return {k: float(v) for k, v in metrics.items()}
+
+    # -- evaluation ---------------------------------------------------------
+    def evaluate(self, cameras=None, max_cams: int = 8) -> dict:
+        cams = cameras if cameras is not None else self.scene.getTestCameras()
+        cams = cams[:max_cams]
+        if not cams:
+            return {}
+        psnrs, l1s = [], []
+        for cam in cams:
+            out = eval_render(self.state.field, cam.device_params(), self.bg,
+                              self.cfg.model.sh_degree, self.raster_cfg)
+            gt = jnp.asarray(cam.original_image)
+            rgb = jnp.clip(out.rgb, 0.0, 1.0)
+            psnrs.append(float(psnr(rgb, gt)))
+            l1s.append(float(l1_loss(rgb, gt)))
+        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
+                "n_cams": len(cams)}
+
+    # -- checkpointing ------------------------------------------------------
+    def save_checkpoint(self, it: int) -> None:
+        import orbax.checkpoint as ocp
+
+        path = Path(self.cfg.model.model_path).resolve() / "checkpoints" / f"{it}"
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, dict(
+            state=jax.tree.map(np.asarray, dataclasses.asdict(
+                self.state) if not hasattr(self.state, "field") else {
+                "field": jax.tree.map(np.asarray, self.state.field),
+                "opt": jax.tree.map(np.asarray, self.state.opt),
+                "stats": jax.tree.map(np.asarray, self.state.stats),
+                "step": np.asarray(self.state.step),
+            }),
+        ), force=True)
+        ckptr.wait_until_finished()
+
+    def train(self, iterations: Optional[int] = None,
+              log_every: int = 50, eval_every: int = 0) -> list[dict]:
+        total = iterations or self.cfg.opt.iterations
+        t0 = time.time()
+        for it in range(1, total + 1):
+            m = self.train_iteration(it)
+            if it % log_every == 0 or it == total:
+                m["iter"] = it
+                m["elapsed_s"] = round(time.time() - t0, 1)
+                m["n_active"] = int(self.state.field.num_active())
+                self.metrics_log.append(m)
+            if eval_every and it % eval_every == 0:
+                e = self.evaluate()
+                if e:
+                    self.metrics_log.append({"iter": it, **{
+                        f"eval_{k}": v for k, v in e.items()}})
+        return self.metrics_log
+
+
+def main(argv=None):
+    from .config import parse_config
+
+    cfg = parse_config(argv)
+    scene = Scene(cfg.model, cfg.data, cfg.box)
+    trainer = Trainer(cfg, scene)
+    trainer.train()
+    scene.gaussians = trainer.state.field
+    scene.save(int(trainer.state.step))
+
+
+if __name__ == "__main__":
+    main()
