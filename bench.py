@@ -1,0 +1,87 @@
+"""Benchmark entry point (run by the driver on real TPU hardware).
+
+Measures differentiable-rasterization throughput (forward+backward) at the
+reference's canonical KITTI-360 workload shape — 376x1408 stereo resolution
+(BASELINE.md: "Rendered Mpix/s fwd+bwd per chip") — on a synthetic scene
+sized like a mid-training KITTI segment.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is relative to NOMINAL_BASELINE_MPIXS, a documented assumption for
+the CUDA reference (the reference repo publishes no numbers, BASELINE.md): a
+single modern GPU runs the 3DGS fwd+bwd at roughly 10 Mpix/s on scenes of
+this scale.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+NOMINAL_BASELINE_MPIXS = 10.0
+
+H, W = 376, 1408
+N_GAUSSIANS = 500_000
+K_CAP = 1 << 22
+TIMING_ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tests.utils import make_camera, random_gaussians
+    from vegs_tpu.ops.rasterize import RasterizeConfig, rasterize
+
+    cam = make_camera(height=H, width=W, fovx=1.2, fovy=0.4)
+    rng = np.random.default_rng(0)
+    means, quats, scales, opac, shs = random_gaussians(
+        rng, N_GAUSSIANS, depth_range=(2.0, 60.0), xy_extent=40.0,
+        scale_range=(0.01, 0.12))
+    cfg = RasterizeConfig(backend="pallas", k_cap=K_CAP)
+    bg = jnp.zeros(3)
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def fwdbwd_loop(means, quats, scales, opac, shs, iters):
+        def loss(m, q, s, o, sh):
+            out = rasterize(m, q, s, o, sh, cam, bg=bg, config=cfg)
+            return jnp.mean(out.rgb ** 2) + 0.01 * jnp.mean(out.depth ** 2)
+
+        def body(i, acc):
+            m = means + jnp.sin(acc) * 1e-20  # genuine loop dependency
+            l, g = jax.value_and_grad(loss)(m, quats, scales, opac, shs)
+            return acc + l + jnp.sum(g) * 1e-9
+
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    args = (means, quats, scales, opac, shs)
+    # Warm both trace-cache entries, then difference 1-iter vs (1+K)-iter
+    # timings to cancel dispatch latency (the remote-TPU tunnel adds ~40ms
+    # per call and block_until_ready does not truly sync).
+    float(fwdbwd_loop(*args, 1))
+    t0 = time.time(); float(fwdbwd_loop(*args, 1)); t1 = time.time()
+    float(fwdbwd_loop(*args, 1 + TIMING_ITERS))
+    t2 = time.time(); float(fwdbwd_loop(*args, 1 + TIMING_ITERS)); t3 = time.time()
+    per_iter = ((t3 - t2) - (t1 - t0)) / TIMING_ITERS
+    mpixs = H * W / per_iter / 1e6
+
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_throughput",
+        "value": round(mpixs, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpixs / NOMINAL_BASELINE_MPIXS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,8 +4,8 @@ TPU-native replacement for the CUDA per-tile blend kernels (SURVEY.md §2.3
 item 1): instead of one thread per pixel walking Gaussians with shared-memory
 staging and atomics, each grid program owns a (16, 128) pixel block (= 8
 adjacent 16x16 tiles) and walks each tile's depth-sorted instance list in
-128-instance chunks DMA'd from HBM, expressing the whole per-chunk compute as
-MXU matmuls:
+512-instance SUPERCHUNKS, double-buffered HBM→VMEM DMA hiding the copy behind
+compute, processing 128-instance chunks whose math is all MXU matmuls:
 
   * the quadratic splat exponent is a [P,6]x[6,M] contraction against pixel
     monomials (1, x, y, x^2, y^2, xy) in tile-local coordinates,
@@ -19,17 +19,18 @@ The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with a
 two-pass-per-chunk scheme: pass 1 locates each pixel's first crossing from
 the unmasked trajectory (identical up to the first crossing), pass 2 re-runs
 the prefix sum with post-crossing instances excluded, freezing T exactly as
-the sequential loop does. Whole chunks are skipped once every pixel in the
-tile has crossed (lax.while_loop).
+the sequential loop does. Whole superchunks are skipped once every pixel in
+the tile has crossed (lax.while_loop with DMA drain).
 
-The backward pass needs no atomics: binning's chunk-aligned layout gives every
-128-instance chunk to exactly one tile, so per-instance gradients are written
-to disjoint [17,128] HBM slices; the transpose of the payload gather (an XLA
-scatter-add outside this kernel) reduces instance grads onto Gaussians. The
-suffix sums of the compositing backward are rewritten as
-(global - inclusive prefix), so both backward sweeps walk chunks FORWARD
-(sweep A accumulates the per-pixel total G = sum_i w_i dw_i; sweep B forms
-per-instance gradients) — no reverse traversal, no stored trajectories.
+The backward pass needs no atomics: binning's superchunk-aligned layout gives
+every 512-instance superchunk to exactly one tile, so per-instance gradients
+are written to disjoint HBM slices (double-buffered write DMA); the transpose
+of the payload gather (an XLA scatter-add outside this kernel) reduces
+instance grads onto Gaussians. The suffix sums of the compositing backward
+are rewritten as (global - inclusive prefix), so both backward sweeps walk
+chunks FORWARD (sweep A accumulates the per-pixel total G = sum_i w_i dw_i;
+sweep B forms per-instance gradients) — no reverse traversal, no stored
+trajectories.
 
 Semantics match vegs_tpu.ops.blend_ref exactly (the golden spec).
 """
@@ -46,17 +47,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import PAD_ALIGN, TileGrid
 from .blend_ref import ALPHA_CLAMP, ALPHA_MIN, N_ACCUM, OUT_CHANNELS, PAYLOAD_ROWS, T_EPS
 
-CHUNK = PAD_ALIGN          # instances per chunk (=128, the aligned unit)
-ROWS_PAD = 24              # payload rows padded 17 -> 24 (sublane tiling of 8)
-TILES_PER_PROG = 8         # 8 adjacent 16x16 tiles = one (16,128) block
-NEG_CAP = -80.0            # clamp for log-transmittance (exp(-80) ~ 1e-35)
+CHUNK = 128                    # instances per compute chunk
+SUPER = PAD_ALIGN // CHUNK     # chunks per DMA superchunk (4)
+ROWS_PAD = 24                  # payload rows padded 17 -> 24 (sublane tiling)
+TILES_PER_PROG = 8             # 8 adjacent 16x16 tiles = one (16,128) block
+NEG_CAP = -80.0                # clamp for log-transmittance
 
 
 def _tri(strict: bool) -> jax.Array:
     """[CHUNK, CHUNK] f32: M[j, i] = 1 where j < i (strict) or j <= i.
-
-    Used as X @ M to compute prefix sums over the instance axis.
-    """
+    Used as X @ M to compute prefix sums over the instance axis."""
     j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     return ((j < i) if strict else (j <= i)).astype(jnp.float32)
@@ -68,15 +68,14 @@ def _pixel_monomials(tile_h: int, tile_w: int) -> jax.Array:
     y = (p // tile_w).astype(jnp.float32)
     x = (p % tile_w).astype(jnp.float32)
     one = jnp.ones_like(x)
-    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)  # [P, 6]
+    return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)
 
 
 def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
-    """Shared fwd/bwd per-chunk compute: returns (include, T, alpha, expp,
-    notclamped, new_logT, new_crossed, geom_rows).
+    """Shared fwd/bwd per-chunk compute (see module docstring).
 
-    chunk: [17, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
-    All pixel-major ([P, CHUNK]) to keep instance on the lane axis.
+    chunk: [ROWS_PAD, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
+    Pixel-major ([P, CHUNK]) keeps the instance axis on VPU lanes.
     """
     f32 = jnp.float32
     mx = chunk[0:1, :] - ox            # [1, C] tile-local
@@ -86,7 +85,6 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     cc = chunk[4:5, :]
     op = chunk[5:6, :]
 
-    # Quadratic-form coefficients against (1, x, y, x^2, y^2, xy).
     q = jnp.concatenate(
         [
             -0.5 * ca * mx * mx - 0.5 * cc * my * my - cb * mx * my,
@@ -103,7 +101,7 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     )  # [P, C]
 
     expp = jnp.exp(power)
-    alpha_raw = op * expp  # broadcast [1,C] * [P,C]
+    alpha_raw = op * expp
     notclamped = alpha_raw < ALPHA_CLAMP
     valid = (power <= 0.0) & (alpha_raw >= ALPHA_MIN) & (carry_crossed == 0.0)
     alpha = jnp.where(valid, jnp.minimum(alpha_raw, ALPHA_CLAMP), 0.0)
@@ -113,7 +111,7 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     # Pass 1: unmasked trajectory locates the first crossing per pixel.
     L = jnp.log1p(-alpha)
     S = jax.lax.dot_general(L, tril_s, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)  # excl prefix [P, C]
+                            preferred_element_type=f32)
     logT = jnp.maximum(carry_logT + S, NEG_CAP)
     T1 = jnp.exp(logT)
     crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
@@ -130,17 +128,23 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     Ti = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
 
     new_logT = jnp.maximum(
-        carry_logT + jnp.sum(Li, axis=1, keepdims=True), NEG_CAP
-    )
+        carry_logT + jnp.sum(Li, axis=1, keepdims=True), NEG_CAP)
     new_crossed = jnp.maximum(
-        carry_crossed, jnp.max(crossing, axis=1, keepdims=True)
-    )
+        carry_crossed, jnp.max(crossing, axis=1, keepdims=True))
     geom = (mx, my, ca, cb, cc, op)
     return include, Ti, alpha_inc, expp, notclamped, new_logT, new_crossed, geom
 
 
-def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, acc_scratch,
-                dma_sem, *, ntx: int, tile_h: int, tile_w: int):
+def _payload_dma(payload_hbm, buf_ref, sems, slot, start, sc):
+    off = pl.multiple_of(start + sc * PAD_ALIGN, PAD_ALIGN)
+    return pltpu.make_async_copy(
+        payload_hbm.at[:, pl.ds(off, PAD_ALIGN)], buf_ref.at[slot],
+        sems.at[slot],
+    )
+
+
+def _fwd_kernel(starts_ref, payload_hbm, out_ref, buf, acc_scratch, sems, *,
+                ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
@@ -150,32 +154,37 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, acc_scratch,
         tile_id = i * ntx + j * TILES_PER_PROG + jt
         start = starts_ref[tile_id]
         end = starts_ref[tile_id + 1]
-        nchunks = (end - start) // CHUNK
+        nsc = (end - start) // PAD_ALIGN
         ox = ((j * TILES_PER_PROG + jt) * tile_w).astype(jnp.float32)
         oy = (i * tile_h).astype(jnp.float32)
 
+        @pl.when(nsc > 0)
+        def _():
+            _payload_dma(payload_hbm, buf, sems, 0, start, 0).start()
+
         def cond(state):
-            c, acc, logT, crossed = state
-            return (c < nchunks) & (jnp.min(crossed) < 1.0)
+            sc, acc, logT, crossed = state
+            return (sc < nsc) & (jnp.min(crossed) < 1.0)
 
         def body(state):
-            c, acc, logT, crossed = state
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
-            cp = pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(off, CHUNK)], chunk_vmem, dma_sem
-            )
-            cp.start()
-            cp.wait()
-            chunk = chunk_vmem[:, :]
-            include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
-                chunk, ox, oy, mono, logT, crossed
-            )
-            w = alpha_inc * Ti  # [P, C]
-            acc = acc + jax.lax.dot_general(
-                w, chunk[6:6 + N_ACCUM, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [P, 11]
-            return c + 1, acc, logT, crossed
+            sc, acc, logT, crossed = state
+            slot = jax.lax.rem(sc, 2)
+
+            @pl.when(sc + 1 < nsc)
+            def _():
+                _payload_dma(payload_hbm, buf, sems,
+                             jax.lax.rem(sc + 1, 2), start, sc + 1).start()
+
+            _payload_dma(payload_hbm, buf, sems, slot, start, sc).wait()
+            for s in range(SUPER):
+                chunk = buf[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
+                    chunk, ox, oy, mono, logT, crossed)
+                w = alpha_inc * Ti  # [P, C]
+                acc = acc + jax.lax.dot_general(
+                    w, chunk[6:6 + N_ACCUM, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return sc + 1, acc, logT, crossed
 
         state = (
             jnp.int32(0),
@@ -183,22 +192,28 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, chunk_vmem, acc_scratch,
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
         )
-        _, acc, logT, _ = jax.lax.while_loop(cond, body, state)
+        sc_e, acc, logT, _ = jax.lax.while_loop(cond, body, state)
+
+        # Early exit leaves the prefetched superchunk un-awaited: drain it.
+        @pl.when(sc_e < nsc)
+        def _():
+            _payload_dma(payload_hbm, buf, sems,
+                         jax.lax.rem(sc_e, 2), start, sc_e).wait()
 
         # Dynamic-lane stores are not provably 128-aligned; stage per-tile
         # results in scratch (leading-dim dynamic index is fine) and copy out
-        # with static offsets below.
-        acc_scratch[jt] = jnp.concatenate([acc, jnp.exp(logT)], axis=1)  # [P, 12]
+        # with static offsets after the loop.
+        acc_scratch[jt] = jnp.concatenate([acc, jnp.exp(logT)], axis=1)
         return 0
 
     jax.lax.fori_loop(0, TILES_PER_PROG, tile_body, 0)
-    for jt in range(TILES_PER_PROG):  # static unroll: aligned-enough stores
+    for jt in range(TILES_PER_PROG):
         block = acc_scratch[jt].reshape(tile_h, tile_w, OUT_CHANNELS)
         out_ref[:, :, jt * tile_w:(jt + 1) * tile_w] = jnp.transpose(block, (2, 0, 1))
 
 
 def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
-                chunk_vmem, dgrad_vmem, dpix_scratch, dma_sem, wr_sem, *,
+                buf, dgrad_buf, dpix_scratch, sems, wr_sems, *,
                 ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -210,142 +225,163 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
     # Pre-stage per-tile cotangents pixel-major (static lane offsets here;
     # inside tile_body only the leading dim is dynamically indexed).
     for jt_s in range(TILES_PER_PROG):
-        dblock = dout_ref[:, :, jt_s * tile_w:(jt_s + 1) * tile_w]  # [12, th, tw]
+        dblock = dout_ref[:, :, jt_s * tile_w:(jt_s + 1) * tile_w]
         dpix_scratch[jt_s] = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
+
+    def grad_write_dma(slot, start, sc):
+        off = pl.multiple_of(start + sc * PAD_ALIGN, PAD_ALIGN)
+        return pltpu.make_async_copy(
+            dgrad_buf.at[slot], dpay_hbm.at[:, pl.ds(off, PAD_ALIGN)],
+            wr_sems.at[slot],
+        )
 
     def tile_body(jt, _):
         tile_id = i * ntx + j * TILES_PER_PROG + jt
         start = starts_ref[tile_id]
         end = starts_ref[tile_id + 1]
-        nchunks = (end - start) // CHUNK
+        nsc = (end - start) // PAD_ALIGN
         ox = ((j * TILES_PER_PROG + jt) * tile_w).astype(f32)
         oy = (i * tile_h).astype(f32)
 
         dpix = dpix_scratch[jt]               # [P, 12]
-        dout_acc = dpix[:, :N_ACCUM]          # [P, 11]
-        dT_fin = dpix[:, N_ACCUM:N_ACCUM + 1]  # [P, 1]
+        dout_acc = dpix[:, :N_ACCUM]
+        dT_fin = dpix[:, N_ACCUM:N_ACCUM + 1]
 
-        def read_chunk(c, start=start):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
-            cp = pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(off, CHUNK)], chunk_vmem, dma_sem
-            )
-            cp.start()
-            cp.wait()
-            return chunk_vmem[:, :]
-
-        # ---- Sweep A: per-pixel total G = sum_i w_i dw_i and final logT ----
-        def bodyA(state):
-            c, G, logT, crossed = state
-            chunk = read_chunk(c)
-            include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
-                chunk, ox, oy, mono, logT, crossed
-            )
-            w = alpha_inc * Ti
-            dw = jax.lax.dot_general(
-                dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [P, C]
-            G = G + jnp.sum(w * dw, axis=1, keepdims=True)
-            return c + 1, G, logT, crossed
+        # ---- Sweep A: per-pixel total G = sum_i w_i dw_i, final logT ------
+        @pl.when(nsc > 0)
+        def _():
+            _payload_dma(payload_hbm, buf, sems, 0, start, 0).start()
 
         def condA(state):
-            c, G, logT, crossed = state
-            return (c < nchunks) & (jnp.min(crossed) < 1.0)
+            sc, G, logT, crossed = state
+            return (sc < nsc) & (jnp.min(crossed) < 1.0)
 
-        c_stop, G, logT_fin, _ = jax.lax.while_loop(
-            condA,
-            bodyA,
+        def bodyA(state):
+            sc, G, logT, crossed = state
+            slot = jax.lax.rem(sc, 2)
+
+            @pl.when(sc + 1 < nsc)
+            def _():
+                _payload_dma(payload_hbm, buf, sems,
+                             jax.lax.rem(sc + 1, 2), start, sc + 1).start()
+
+            _payload_dma(payload_hbm, buf, sems, slot, start, sc).wait()
+            for s in range(SUPER):
+                chunk = buf[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
+                    chunk, ox, oy, mono, logT, crossed)
+                w = alpha_inc * Ti
+                dw = jax.lax.dot_general(
+                    dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                G = G + jnp.sum(w * dw, axis=1, keepdims=True)
+            return sc + 1, G, logT, crossed
+
+        sc_stop, G, logT_fin, _ = jax.lax.while_loop(
+            condA, bodyA,
             (jnp.int32(0), jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
-             jnp.zeros((p, 1), f32)),
-        )
+             jnp.zeros((p, 1), f32)))
+
+        @pl.when(sc_stop < nsc)
+        def _():
+            _payload_dma(payload_hbm, buf, sems,
+                         jax.lax.rem(sc_stop, 2), start, sc_stop).wait()
+
         T_fin = jnp.exp(logT_fin)
-        tail = G + T_fin * dT_fin  # [P, 1] suffix contribution shared by all i
+        tail = G + T_fin * dT_fin  # [P, 1]
 
-        # ---- Sweep B: per-instance gradients, chunks forward ----
-        def bodyB(state):
-            c, cum, logT, crossed = state
-            chunk = read_chunk(c)
-            include, Ti, alpha_inc, expp, notclamped, logT, crossed, geom = (
-                _chunk_common(chunk, ox, oy, mono, logT, crossed)
-            )
-            mx, my, ca, cb, cc, op = geom
-            w = alpha_inc * Ti
-            dw = jax.lax.dot_general(
-                dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [P, C]
-            wdw = w * dw
-            cum_incl = cum + jax.lax.dot_general(
-                wdw, tri_full, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [P, C] inclusive prefix (global order)
-            dL = tail - cum_incl  # [P, C]
-            inc_f = include.astype(f32)
-            dalpha = (Ti * dw - dL / (1.0 - alpha_inc)) * inc_f
-            ncl = notclamped.astype(f32) * inc_f
-            dpower = dalpha * alpha_inc * ncl  # alpha_inc == alpha_raw when unclamped
-            dop_col = dalpha * expp * ncl
+        # ---- Sweep B: per-instance gradients ------------------------------
+        @pl.when(nsc > 0)
+        def _():
+            _payload_dma(payload_hbm, buf, sems, 0, start, 0).start()
 
-            # dQ rows-major [6, C] to match payload-row orientation.
-            dq = jax.lax.dot_general(
-                mono, dpower, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [6, C]
-            dq1, dqx, dqy = dq[0:1], dq[1:2], dq[2:3]
-            dqxx, dqyy, dqxy = dq[3:4], dq[4:5], dq[5:6]
-            dmx = dq1 * (-ca * mx - cb * my) + dqx * ca + dqy * cb
-            dmy = dq1 * (-cc * my - cb * mx) + dqx * cb + dqy * cc
-            dca = dq1 * (-0.5 * mx * mx) + dqx * mx - 0.5 * dqxx
-            dcb = dq1 * (-mx * my) + dqx * my + dqy * mx - dqxy
-            dcc = dq1 * (-0.5 * my * my) + dqy * my - 0.5 * dqyy
-            dop = jax.lax.dot_general(
-                jnp.ones((1, p), f32), dop_col, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [1, C]
-            dchan = jax.lax.dot_general(
-                dout_acc, w, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # [11, C]
+        def bodyB(sc, carry):
+            cum, logT, crossed = carry
+            slot = jax.lax.rem(sc, 2)
 
-            dgrad_vmem[:, :] = jnp.concatenate(
-                [dmx, dmy, dca, dcb, dcc, dop, dchan,
-                 jnp.zeros((ROWS_PAD - PAYLOAD_ROWS, CHUNK), f32)], axis=0
-            )  # [24, C] (rows >= 17 are tiling pad)
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
-            wr = pltpu.make_async_copy(
-                dgrad_vmem, dpay_hbm.at[:, pl.ds(off, CHUNK)], wr_sem
-            )
-            wr.start()
-            wr.wait()
+            @pl.when(sc + 1 < nsc)
+            def _():
+                _payload_dma(payload_hbm, buf, sems,
+                             jax.lax.rem(sc + 1, 2), start, sc + 1).start()
 
-            cum = cum + jnp.sum(wdw, axis=1, keepdims=True)
-            return c + 1, cum, logT, crossed
+            _payload_dma(payload_hbm, buf, sems, slot, start, sc).wait()
 
-        def condB(state):
-            c = state[0]
-            return c < c_stop  # same chunk range sweep A visited
+            # The write buffer for this slot may still be in flight from two
+            # superchunks ago: wait before overwriting.
+            @pl.when(sc >= 2)
+            def _():
+                grad_write_dma(slot, start, sc - 2).wait()
 
-        _ = jax.lax.while_loop(
-            condB,
-            bodyB,
-            (jnp.int32(0), jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
-             jnp.zeros((p, 1), f32)),
-        )
+            for s in range(SUPER):
+                chunk = buf[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                include, Ti, alpha_inc, expp, notclamped, logT, crossed, geom = (
+                    _chunk_common(chunk, ox, oy, mono, logT, crossed))
+                mx, my, ca, cb, cc, op = geom
+                w = alpha_inc * Ti
+                dw = jax.lax.dot_general(
+                    dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                wdw = w * dw
+                cum_incl = cum + jax.lax.dot_general(
+                    wdw, tri_full, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dL = tail - cum_incl
+                inc_f = include.astype(f32)
+                dalpha = (Ti * dw - dL / (1.0 - alpha_inc)) * inc_f
+                ncl = notclamped.astype(f32) * inc_f
+                dpower = dalpha * alpha_inc * ncl
+                dop_col = dalpha * expp * ncl
 
-        # Chunks beyond c_stop (all pixels crossed early) still need zero
-        # gradients written — their slots are real instances with no grad.
-        def bodyZ(c, _):
-            dgrad_vmem[:, :] = jnp.zeros((ROWS_PAD, CHUNK), f32)
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
-            wr = pltpu.make_async_copy(
-                dgrad_vmem, dpay_hbm.at[:, pl.ds(off, CHUNK)], wr_sem
-            )
+                dq = jax.lax.dot_general(
+                    mono, dpower, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)  # [6, C]
+                dq1, dqx, dqy = dq[0:1], dq[1:2], dq[2:3]
+                dqxx, dqyy, dqxy = dq[3:4], dq[4:5], dq[5:6]
+                dmx = dq1 * (-ca * mx - cb * my) + dqx * ca + dqy * cb
+                dmy = dq1 * (-cc * my - cb * mx) + dqx * cb + dqy * cc
+                dca = dq1 * (-0.5 * mx * mx) + dqx * mx - 0.5 * dqxx
+                dcb = dq1 * (-mx * my) + dqx * my + dqy * mx - dqxy
+                dcc = dq1 * (-0.5 * my * my) + dqy * my - 0.5 * dqyy
+                dop = jax.lax.dot_general(
+                    jnp.ones((1, p), f32), dop_col, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                dchan = jax.lax.dot_general(
+                    dout_acc, w, (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)  # [11, C]
+
+                dgrad_buf[slot, :, s * CHUNK:(s + 1) * CHUNK] = jnp.concatenate(
+                    [dmx, dmy, dca, dcb, dcc, dop, dchan,
+                     jnp.zeros((ROWS_PAD - PAYLOAD_ROWS, CHUNK), f32)], axis=0)
+                cum = cum + jnp.sum(wdw, axis=1, keepdims=True)
+
+            grad_write_dma(slot, start, sc).start()
+            return cum, logT, crossed
+
+        jax.lax.fori_loop(
+            0, sc_stop, bodyB,
+            (jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
+             jnp.zeros((p, 1), f32)))
+
+        # Drain outstanding gradient writes.
+        @pl.when(sc_stop >= 2)
+        def _():
+            grad_write_dma(jax.lax.rem(sc_stop - 2, 2), start, sc_stop - 2).wait()
+
+        @pl.when(sc_stop >= 1)
+        def _():
+            grad_write_dma(jax.lax.rem(sc_stop - 1, 2), start, sc_stop - 1).wait()
+
+        # Superchunks beyond sc_stop (all pixels crossed early) still hold real
+        # instances that need zero gradients written.
+        def bodyZ(sc, _):
+            slot = jax.lax.rem(sc, 2)
+            dgrad_buf[slot] = jnp.zeros((ROWS_PAD, PAD_ALIGN), f32)
+            wr = grad_write_dma(slot, start, sc)
             wr.start()
             wr.wait()
             return 0
 
-        jax.lax.fori_loop(c_stop, nchunks, bodyZ, 0)
+        jax.lax.fori_loop(sc_stop, nsc, bodyZ, 0)
         return 0
 
     jax.lax.fori_loop(0, TILES_PER_PROG, tile_body, 0)
@@ -365,11 +401,9 @@ def _blend_fwd_impl(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: in
     # Mosaic requires DMA slice shapes aligned to the (8,128) tiling: pad the
     # 17 payload rows to 24. The kernels only read rows < PAYLOAD_ROWS.
     payload_sorted = jnp.pad(
-        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0))
-    )
+        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0)))
     kernel = functools.partial(
-        _fwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w
-    )
+        _fwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -382,12 +416,11 @@ def _blend_fwd_impl(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: in
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.VMEM((2, ROWS_PAD, PAD_ALIGN), jnp.float32),
                 pltpu.VMEM(
                     (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
-                    jnp.float32,
-                ),
-                pltpu.SemaphoreType.DMA,
+                    jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((OUT_CHANNELS, hp, wp), jnp.float32),
@@ -399,11 +432,9 @@ def _blend_bwd_impl(payload_sorted, tile_starts, dout, grid: TileGrid):
     nty, njg = _grid_dims(grid)
     k_cap = payload_sorted.shape[1]
     payload_sorted = jnp.pad(
-        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0))
-    )
+        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0)))
     kernel = functools.partial(
-        _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w
-    )
+        _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
     dpay = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -419,14 +450,13 @@ def _blend_bwd_impl(payload_sorted, tile_starts, dout, grid: TileGrid):
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
-                pltpu.VMEM((ROWS_PAD, CHUNK), jnp.float32),
+                pltpu.VMEM((2, ROWS_PAD, PAD_ALIGN), jnp.float32),
+                pltpu.VMEM((2, ROWS_PAD, PAD_ALIGN), jnp.float32),
                 pltpu.VMEM(
                     (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
-                    jnp.float32,
-                ),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                    jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((ROWS_PAD, k_cap), jnp.float32),

@@ -147,10 +147,16 @@ def project(
     inv_det = 1.0 / det_safe
     conics = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=1)
 
-    # Screen radius: 3 sigma of the max eigenvalue.
+    # Screen radius: 3 sigma of the max eigenvalue, tightened by the
+    # opacity-aware bound sigma*sqrt(2*ln(255*op)) — alpha drops below the
+    # blend's 1/255 cutoff beyond it, so shrinking the footprint is LOSSLESS
+    # w.r.t. the compositing spec while cutting tile-instance duplication
+    # (the CUDA reference uses plain 3*sigma).
     mid = 0.5 * (cxx + cyy)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    sigma_max = jnp.sqrt(lam1)
+    op_bound = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1.0 + 1e-6)))
+    radius_f = jnp.ceil(jnp.minimum(3.0, op_bound) * sigma_max)
     if clamp_radius > 0:
         radius_f = jnp.minimum(radius_f, float(clamp_radius))
 
