@@ -118,7 +118,14 @@ def bin_gaussians(
     k_cap: int,
 ) -> Binned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
-    tile, sorted by (tile, quantized depth), in the chunk-aligned layout."""
+    tile, sorted by (tile, quantized depth), in the chunk-aligned layout.
+
+    Deliberately SCATTER-FREE: XLA:TPU serializes scatters with potentially
+    colliding indices into per-element loops, which turned a ~10 ms stage
+    into >100 ms. Every index map here is a searchsorted (binary-search
+    gathers) or a plain gather; the only non-elementwise ops are one
+    lax.sort and short cumsums.
+    """
     n = means2d.shape[0]
     assert k_cap % PAD_ALIGN == 0, "k_cap must be a multiple of PAD_ALIGN"
     num_tiles = grid.num_tiles
@@ -129,42 +136,53 @@ def bin_gaussians(
     h = y1 - y0 + 1
     counts = jnp.where(active, w * h, 0)
 
-    offsets = jnp.cumsum(counts) - counts  # exclusive
-    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
+    cum = jnp.cumsum(counts)              # inclusive, [n]
+    total = cum[-1] if n > 0 else jnp.int32(0)
     num_raw = jnp.minimum(total, k_cap)
 
-    # Slot -> Gaussian map: scatter a 1 at each active Gaussian's start offset
-    # (only where count > 0; empty Gaussians share offsets with successors),
-    # then inclusive-cumsum-minus-one gives each slot the ORDINAL of its
-    # active Gaussian; a compacted ordinal->index table resolves the actual
-    # Gaussian index (empty Gaussians make ordinal != index).
-    marker = jnp.zeros((k_cap,), jnp.int32)
-    scatter_off = jnp.where(counts > 0, offsets, k_cap)  # k_cap -> dropped
-    marker = marker.at[scatter_off].add(1, mode="drop")
-    ordinal = jnp.clip(jnp.cumsum(marker) - 1, 0, max(n - 1, 0))  # [k_cap]
-
-    active_ord = jnp.cumsum((counts > 0).astype(jnp.int32)) - 1  # [n]
-    compact = jnp.zeros((n,), jnp.int32)
-    compact = compact.at[jnp.where(counts > 0, active_ord, n)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop"
-    )
-    gidx_raw = compact[ordinal]
-
+    # Slot -> Gaussian index: the slot's position in the inclusive cumsum.
+    # Empty Gaussians produce repeated cumsum values and side="right" skips
+    # them, landing on the owning (count > 0) Gaussian directly.
+    # method="sort" merges queries and keys in one lax.sort — the default
+    # binary-search "scan" costs ~140 ms at 1M queries on TPU (each of its
+    # ~20 steps is a 1M-element random gather), the sort costs ~17 ms.
     slot = jnp.arange(k_cap, dtype=jnp.int32)
-    in_range = slot < num_raw
+    gidx_raw = jnp.clip(
+        jnp.searchsorted(cum, slot, side="right", method="sort"),
+        0, max(n - 1, 0),
+    ).astype(jnp.int32)
 
-    li = slot - offsets[gidx_raw]
-    gw = jnp.maximum(w[gidx_raw], 1)
-    tx = x0[gidx_raw] + li % gw
-    ty = y0[gidx_raw] + li // gw
+    # ONE packed row-8 gather for all per-Gaussian fields (8-int rows hit the
+    # fast aligned-gather path; separate 1D gathers cost ~8 ms each at 1M).
+    rec = jnp.stack(
+        [x0, y0, w, cum - counts, depth_key(depths),
+         jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.zeros_like(x0)],
+        axis=1,
+    )  # [n, 8] int32
+    rec_g = rec[gidx_raw]  # [k_cap, 8]
+    gx0, gy0, gw_, goff, gdkey = (rec_g[:, 0], rec_g[:, 1], rec_g[:, 2],
+                                  rec_g[:, 3], rec_g[:, 4])
+
+    in_range = slot < num_raw
+    li = slot - goff
+    gw = jnp.maximum(gw_, 1)
+    # Integer div/mod with a VARIABLE divisor is emulated very slowly on the
+    # TPU VPU (~80 ms at 1M elements). li < w*h fits float32 exactly, so a
+    # biased float reciprocal is exact here: (li + 0.5)/gw can never sit on
+    # an integer boundary for gw < 2^11, making the floor decision safe.
+    q = jnp.floor((li.astype(jnp.float32) + 0.5)
+                  * (1.0 / gw.astype(jnp.float32))).astype(jnp.int32)
+    tx = gx0 + (li - q * gw)
+    ty = gy0 + q
     tile_id = ty * grid.ntx + tx
 
-    dkey = depth_key(depths)[gidx_raw]
-    key = jnp.where(in_range, jax.lax.shift_left(tile_id, TILE_SHIFT) | dkey, SENTINEL)
+    key = jnp.where(in_range, jax.lax.shift_left(tile_id, TILE_SHIFT) | gdkey,
+                    SENTINEL)
 
     key_sorted, gidx_sorted = jax.lax.sort((key, gidx_raw), num_keys=1)
 
-    # Raw (unpadded) per-tile ranges via binary search on the sorted keys.
+    # Raw (unpadded) per-tile ranges via binary search on the sorted keys
+    # (few queries -> the scan method is fine here).
     queries = jax.lax.shift_left(
         jnp.arange(num_tiles + 1, dtype=jnp.int32), TILE_SHIFT
     )
@@ -176,28 +194,38 @@ def bin_gaussians(
     padded_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_counts)]
     )
-    padded_starts = jnp.minimum(padded_starts, k_cap)  # clamp keeps 128-align
+    padded_starts = jnp.minimum(padded_starts, k_cap)  # clamp keeps alignment
 
-    # Scatter sorted instances into their padded positions.
-    sorted_tile = jax.lax.shift_right_logical(key_sorted, TILE_SHIFT)
-    sorted_tile = jnp.minimum(sorted_tile, num_tiles)  # sentinels -> T bucket
-    rank = slot - raw_starts[jnp.minimum(sorted_tile, num_tiles - 1)]
-    new_pos = jnp.where(
-        (slot < num_raw),
-        padded_starts[jnp.minimum(sorted_tile, num_tiles - 1)] + rank,
-        k_cap,
+    # Padded re-layout: per-slot tile lookups expand via the boundary-delta
+    # trick — scatter per-tile value DELTAS at the (few thousand) padded range
+    # boundaries, then one cumsum broadcasts them to every slot in the range.
+    # Costs ~0.3 ms vs ~90 ms for a 1M-query searchsorted into the table.
+    def tile_broadcast(values):  # [T] -> [k_cap] piecewise-constant
+        deltas = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+        z = jnp.zeros((k_cap,), values.dtype)
+        # Clamped (overflowed) boundaries sit exactly at k_cap: drop them.
+        z = z.at[padded_starts[:-1]].add(deltas, mode="drop")
+        return jnp.cumsum(z)
+
+    base_map = tile_broadcast(padded_starts[:-1])   # padded_starts[t_of]
+    rawstart_map = tile_broadcast(raw_starts[:-1])  # raw_starts[t_of]
+    count_map = tile_broadcast(tile_counts)         # tile_counts[t_of]
+
+    r_of = slot - base_map
+    src = rawstart_map + r_of
+    valid = (
+        (slot < padded_starts[num_tiles])
+        & (r_of < count_map)
+        & (src < num_raw)
     )
-    # Positions pushed past the end of their (clamped) padded range overflow.
-    tile_end = padded_starts[jnp.minimum(sorted_tile + 1, num_tiles)]
-    overflow = new_pos >= tile_end
-    new_pos = jnp.where(overflow, k_cap, new_pos)
+    src_c = jnp.clip(src, 0, k_cap - 1)
+    # Final relayout pull: pack (gidx, key) into one row-2 gather.
+    packed = jnp.stack([gidx_sorted, key_sorted], axis=1)  # [k_cap, 2]
+    pulled = packed[src_c]
+    gidx_padded = jnp.where(valid, pulled[:, 0], n)
+    keys_padded = jnp.where(valid, pulled[:, 1], SENTINEL)
 
-    gidx_padded = jnp.full((k_cap,), n, jnp.int32)
-    gidx_padded = gidx_padded.at[new_pos].set(gidx_sorted, mode="drop")
-    keys_padded = jnp.full((k_cap,), SENTINEL, jnp.int32)
-    keys_padded = keys_padded.at[new_pos].set(key_sorted, mode="drop")
-
-    num_kept = jnp.sum((new_pos < k_cap).astype(jnp.int32))
+    num_kept = jnp.sum(valid.astype(jnp.int32))
     num_dropped = total - num_kept
 
     return Binned(

@@ -123,11 +123,14 @@ def rasterize(
         config.k_cap,
     )
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
-    # chunk-aligned layout points them at gidx == n). Gather along ROWS (fast
-    # contiguous gather; its autodiff transpose is a row scatter-add), then
-    # transpose into the blend kernel's [17, K] layout.
-    payload_rows = jnp.pad(payload_rows_unpadded, ((0, 1), (0, 0)))  # [n+1, 17]
-    payload_sorted = payload_rows[binned.gidx].T                     # [17, k_cap]
+    # chunk-aligned layout points them at gidx == n). Gather along ROWS in
+    # 8-wide pieces — 8-float rows hit the TPU's fast aligned-gather path
+    # (~4 ms/M rows) while 17-wide rows take ~30 ms/M — then transpose into
+    # the blend kernel's [17, K] layout. The autodiff transpose is the
+    # matching set of row scatter-adds.
+    payload_rows = jnp.pad(payload_rows_unpadded, ((0, 1), (0, 7)))  # [n+1, 24]
+    parts = [payload_rows[:, i * 8:(i + 1) * 8][binned.gidx] for i in range(3)]
+    payload_sorted = jnp.concatenate(parts, axis=1)[:, :17].T        # [17, k_cap]
 
     backend = _resolve_backend(config.backend)
     if backend == "dense":

@@ -412,6 +412,126 @@ def readKITTI360SceneInfo(path, eval=True, seq="2013_05_28_drive_0009_sync",
 
 
 # ---------------------------------------------------------------------------
+# KITTI (tracking benchmark) scenes
+# ---------------------------------------------------------------------------
+
+
+def readKITTICameras(path, seq, preload_image=False) -> list[CameraInfo]:
+    """Stereo tracking cameras (reference 302-357)."""
+    from . import kitti_loader as kl
+
+    basedir = os.path.join(path, "training")
+    calib = kl.tracking_calib_from_txt(os.path.join(basedir, "calib", seq + ".txt"))
+    poses_imu, _, _ = kl.get_poses_calibration(
+        basedir, os.path.join(basedir, "oxts", seq + ".txt"))
+
+    imu2velo = calib["Tr_imu2velo"]
+    velo2imu = kl.invert_transformation(imu2velo[:3, :3], imu2velo[:3, 3])
+    poses_velo = np.matmul(poses_imu, velo2imu)
+
+    for cam_i in (2, 3):
+        projection = calib[f"P{cam_i}"]
+        K_inv = np.linalg.inv(projection[:3, :3])
+        transformation = np.eye(4)
+        transformation[:3, 3] = K_inv @ projection[:3, 3]
+        calib[f"Tr_camrect2cam0{cam_i}"] = transformation
+        calib[f"K{cam_i}"] = projection[:3, :3]
+
+    cam_poses = kl.get_camera_poses_tracking(poses_velo, calib)
+    image_paths = sorted(kl.get_scene_images(basedir, seq))
+    infos = []
+    for uid, image_path in enumerate(image_paths):
+        cam_idx = int(image_path.split(os.sep)[-3].split("_")[-1])
+        frame = int(os.path.basename(image_path).split(".")[0])
+        w2c = np.linalg.inv(cam_poses[uid])
+        R = w2c[:3, :3].T
+        T = w2c[:3, 3]
+        K = calib[f"K{cam_idx}"]
+        from PIL import Image
+
+        with Image.open(image_path) as im:
+            w, h = im.size
+        normal_path = image_path.replace("image_", "normal_").replace(
+            ".png", "_norm.npy")
+        infos.append(CameraInfo(
+            uid=uid, R=R, T=T,
+            FovY=focal2fov(K[1, 1], h), FovX=focal2fov(K[0, 0], w),
+            image=None, image_path=image_path,
+            image_name=os.path.basename(image_path),
+            normal_path=normal_path, width=w, height=h, K=K,
+            frame=frame, cam_idx=cam_idx,
+        ))
+    return infos
+
+
+def readKITTI3DAnnotations(path, seq):
+    """Tracking tracklets -> {frame: {instance: box2world}} for vehicle
+    classes (reference 156-189)."""
+    from . import kitti_loader as kl
+
+    basedir = os.path.join(path, "training")
+    calib = kl.tracking_calib_from_txt(os.path.join(basedir, "calib", seq + ".txt"))
+    poses_imu, _, _ = kl.get_poses_calibration(
+        basedir, os.path.join(basedir, "oxts", seq + ".txt"))
+    visible_objects, _, box2worlds = kl.get_obj_pose_tracking(
+        os.path.join(basedir, "label_02", seq + ".txt"), poses_imu, calib)
+
+    class _Box:
+        def __init__(self, m):
+            self.box2world = m
+
+    bboxes = {}
+    inst_info = []
+    for ts in range(box2worlds.shape[0]):
+        for j in range(box2worlds.shape[1]):
+            if np.all(box2worlds[ts, j] == -1.0):
+                continue
+            row = visible_objects[ts, j]
+            inst_id = int(row[2])
+            obj_type = row[3]
+            if obj_type in (0.0, 2.0):  # car/van, truck
+                m = kl.box2world_from_tracking(row, box2worlds[ts, j])
+                bboxes.setdefault(ts, {})[inst_id] = _Box(m)
+                inst_info.append(inst_id)
+    return bboxes, sorted(set(inst_info))
+
+
+def readKITTISceneInfo(path, seq, eval=True, llffhold=8,
+                       ply_cache_dir=".cache") -> SceneInfo:
+    """KITTI tracking segment (reference 711-780)."""
+    pcd = fetchPlyKITTI360(
+        os.path.join(path, "training", "3d_semantics", "static", f"{seq}.ply"),
+        visible_only=False)
+    dyn_pcd = fetchDynamicPlyKITTI360(
+        os.path.join(path, "training", "3d_semantics", "dynamic", f"{seq}.ply"),
+        semantic_ids=(0, 2))
+    cam_infos = readKITTICameras(path, seq)
+    bboxes, instances_info = readKITTI3DAnnotations(path, seq)
+
+    if eval:
+        train = [c for i, c in enumerate(cam_infos) if i % llffhold != 0]
+        test = [c for i, c in enumerate(cam_infos) if i % llffhold == 0]
+    else:
+        train, test = cam_infos, []
+    pick = lambda keys, d: {k: d[k] for k in keys if k in d}
+    train_bboxes = pick([int(c.frame) for c in train], bboxes)
+    test_bboxes = pick([int(c.frame) for c in test], bboxes)
+
+    os.makedirs(ply_cache_dir, exist_ok=True)
+    ply_path = os.path.join(ply_cache_dir, f"points3d_{seq}.ply")
+    if not os.path.exists(ply_path):
+        storePly(ply_path, pcd.points, np.uint8(pcd.colors * 255))
+
+    return SceneInfo(
+        point_cloud=pcd, dyn_point_cloud=dyn_pcd,
+        train_cameras=train, test_cameras=test,
+        nerf_normalization=getNerfppNorm(cam_infos, pcd),
+        ply_path=ply_path, train_bboxes=train_bboxes, test_bboxes=test_bboxes,
+        instances_info=instances_info,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Random virtual rig (instance visualization, reference 653-707)
 # ---------------------------------------------------------------------------
 
@@ -479,4 +599,5 @@ sceneLoadTypeCallbacks = {
     "Colmap": readColmapSceneInfo,
     "Blender": readNerfSyntheticInfo,
     "KITTI360": readKITTI360SceneInfo,
+    "KITTI": readKITTISceneInfo,
 }
