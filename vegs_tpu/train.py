@@ -151,7 +151,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
     @jax.jit
     def step_fn(state: TrainState, box_state, deltas: Optional[BoxDeltas],
                 delta_opt, box2worlds, active, cam: CameraParams, gt, normal,
-                normal_valid, active_sh_degree, bg):
+                normal_valid, active_sh_degree, bg, g_extra=None):
         static_params = optim.split_params(state.field)
         box_params = (optim.split_params(box_state.fields)
                       if n_box_slots else {})
@@ -170,6 +170,12 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         )
         g_static, g_box, g_delta, g_m2d = grads
         radii, ll1, nloss, ndrop = aux
+
+        # Extra gradient contributions (diffusion-guidance window): summing
+        # gradients before the optimizer step is equivalent to the reference's
+        # single backward over the combined loss (train.py:193-196).
+        if g_extra is not None:
+            g_static = {k: g_static[k] + g_extra[k] for k in g_static}
 
         # NaN guard for box-delta grads (reference train.py:198-205).
         if n_box_slots:
@@ -230,6 +236,33 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
     return step_fn
 
 
+def make_guidance_grad_fn(guidance, raster_cfg: RasterizeConfig,
+                          sh_degree: int = 3):
+    """Gradients of the diffusion-guidance loss w.r.t. the static field.
+
+    Mirrors the reference window (train.py:171-193): render the augmented
+    camera, take an sd_image_size square crop at `crop_start`, feed the
+    guidance regularizer; returns (grads dict, loss)."""
+
+    @jax.jit
+    def fn(field: GaussianField, cam: CameraParams, crop_start, key,
+           iteration, bg):
+        def loss_fn(params):
+            f = optim.with_params(field, params)
+            arrays = field_arrays(f, sh_degree)
+            out = _run(cam, arrays, bg=bg, scale_modifier=1.0,
+                       override_color=None, sh_degree=sh_degree,
+                       config=raster_cfg, means2d_offset=None)
+            h = out.rgb.shape[1]
+            crop = jax.lax.dynamic_slice(
+                out.rgb, (0, 0, crop_start), (3, h, h))
+            return guidance(key, crop, iteration)
+
+        return jax.value_and_grad(loss_fn)(optim.split_params(field))
+
+    return fn
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def eval_render(field: GaussianField, cam: CameraParams, bg,
                 sh_degree: int, raster_cfg: RasterizeConfig):
@@ -252,6 +285,7 @@ class Trainer:
     raster_cfg: RasterizeConfig = None
     max_box_slots: int = 8
     rng_seed: int = 7
+    sd_guidance: object = None  # optional losses.sd_guidance.SDGuidance
 
     def __post_init__(self):
         cfg = self.cfg
@@ -282,6 +316,7 @@ class Trainer:
         self.frame_deltas: dict = {}    # (frame, inst) -> BoxDeltas (unstacked)
         self.frame_delta_opts: dict = {}
         self._step_cache = {}
+        self._guidance_fn = None
         self.viewpoint_stack = []
         self.metrics_log = []
 
@@ -358,13 +393,41 @@ class Trainer:
             b2w = jnp.zeros((0, 4, 4))
             active = jnp.zeros((0,), bool)
 
+        # -- diffusion-guidance window (reference train.py:171-193) --------
+        g_extra = None
+        sd = self.cfg.sd
+        if (self.sd_guidance is not None
+                and sd.start_guiding_from_iter < it < sd.end_guiding_at_iter):
+            from .scene.cameras import augment_camera
+
+            cam_aug, yaw, pitch, tz, aug_dir = augment_camera(
+                cam, sd, self.rng)
+            h_aug, w_aug = cam_aug.image_height, cam_aug.image_width
+            span = max(w_aug - h_aug, 1)
+            if sd.global_crop or aug_dir is None:
+                crop_start = int(self.rng.integers(0, span))
+            elif aug_dir == -1:  # looking right -> crop right half
+                crop_start = int(self.rng.integers(span // 2, span))
+            else:
+                crop_start = int(self.rng.integers(0, max(span // 2, 1)))
+            if self._guidance_fn is None:
+                self._guidance_fn = make_guidance_grad_fn(
+                    self.sd_guidance, self.raster_cfg, self.cfg.model.sh_degree)
+            self.key, sub = jax.random.split(self.key)
+            g_loss, g_extra = self._guidance_fn(
+                self.state.field, cam_aug.device_params(),
+                jnp.int32(crop_start), sub, jnp.int32(it), self.bg)
+
         step_fn = self._get_step_fn(
             n_slots, self.state.field.capacity,
             self.box_caps if n_slots else 0)
         (self.state, box_state, deltas, dopts, metrics) = step_fn(
             self.state, box_state, deltas, dopts, b2w, active, cam_params,
             gt, normal, normal_valid,
-            jnp.int32(self._active_sh_degree(it)), self.bg)
+            jnp.int32(self._active_sh_degree(it)), self.bg, g_extra)
+
+        if g_extra is not None:
+            metrics = {**metrics, "guidance_loss": g_loss}
 
         # write back per-instance state
         if n_slots:
