@@ -1,0 +1,137 @@
+"""Offline tools: DPT normals, image ops, lora preprocess, viewer, logging."""
+
+import json
+import socket
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vegs_tpu.ops.image_ops import fused_leaky_relu, make_fir_kernel, upfirdn2d
+from vegs_tpu.priors.dpt import DPTConfig, DPTNormal, init_dpt
+from vegs_tpu.utils.logging import MetricsLogger, StepTimer
+
+
+def test_dpt_forward_shapes():
+    cfg = DPTConfig.tiny()
+    params = init_dpt(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (1, 64, 64, 3))
+    n = DPTNormal(cfg).apply(params, x)
+    assert n.shape == (1, 64, 64, 3)
+    norms = np.linalg.norm(np.asarray(n), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_normal_estimator_sliding(rng, tmp_path):
+    from vegs_tpu.tools.estimate_normal import NormalEstimator
+
+    est = NormalEstimator(DPTConfig.tiny())
+    img = rng.uniform(0, 1, (64, 192, 3)).astype(np.float32)
+    n = est.infer_sliding(img)
+    assert n.shape == (64, 192, 3)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-3)
+    flipped = est.to_repo_convention(n)
+    np.testing.assert_allclose(flipped[..., 2], n[..., 2])
+    np.testing.assert_allclose(flipped[..., 0], -n[..., 0])
+
+
+def test_upfirdn2d_identity_and_blur(rng):
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
+    ident = jnp.asarray([[1.0]])
+    y = upfirdn2d(x, ident)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+    # blur preserves mean
+    k = make_fir_kernel([1, 3, 3, 1])
+    y2 = upfirdn2d(x, k, pad=(1, 2))
+    assert y2.shape == x.shape
+    # upsample x2
+    y3 = upfirdn2d(x, k * 4, up=2, pad=(2, 1))
+    assert y3.shape == (1, 16, 16, 2)
+    # leaky relu with gain
+    z = fused_leaky_relu(jnp.asarray([-1.0, 2.0]), bias=jnp.asarray([0.0, 0.0]))
+    np.testing.assert_allclose(
+        np.asarray(z), [-0.2 * np.sqrt(2), 2 * np.sqrt(2)], rtol=1e-6)
+
+
+def test_lora_preprocess(tmp_path, rng):
+    from PIL import Image
+
+    from vegs_tpu.tools.lora_preprocess import preprocess_segment
+
+    seq = "seq0"
+    img_dir = tmp_path / "data_2d_raw" / seq / "image_00" / "data_rect"
+    img_dir.mkdir(parents=True)
+    for f in (5, 6):
+        arr = rng.integers(0, 255, (48, 96, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{f:010d}.png")
+    out = preprocess_segment(tmp_path, seq, 5, 7, tmp_path / "lora_data",
+                             n_images=4, size=32)
+    files = sorted((tmp_path / "lora_data").glob("*.png"))
+    assert len(files) == 4
+    meta = [json.loads(l) for l in
+            (tmp_path / "lora_data" / "metadata.jsonl").read_text().splitlines()]
+    assert len(meta) == 4 and "suburban street" in meta[0]["text"]
+
+
+def test_metrics_logger(tmp_path):
+    lg = MetricsLogger(tmp_path)
+    lg.log({"loss": 1.0}, step=1)
+    lg.log({"loss": 0.5}, step=2)
+    lg.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[1])["step"] == 2
+
+    t = StepTimer()
+    with t("phase"):
+        pass
+    assert "phase" in t.summary()
+
+
+def test_viewer_roundtrip(rng):
+    from vegs_tpu.viewer import ViewerServer
+
+    srv = ViewerServer(port=0)
+    port = srv.listener.getsockname()[1]
+    h, w = 4, 6
+    result = {}
+
+    def client():
+        c = socket.create_connection(("127.0.0.1", port))
+        msg = json.dumps({
+            "resolution_x": w, "resolution_y": h, "train": True,
+            "fov_y": 0.8, "fov_x": 1.0, "z_near": 0.01, "z_far": 100.0,
+            "keep_alive": False, "scaling_modifier": 1.0,
+            "view_matrix": list(np.eye(4).flatten().astype(float)),
+            "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+        }).encode()
+        c.sendall(len(msg).to_bytes(4, "little"))
+        c.sendall(msg)
+        img = b""
+        while len(img) < h * w * 3:
+            img += c.recv(4096)
+        n = int.from_bytes(img[h * w * 3:h * w * 3 + 4] or c.recv(4), "little")
+        result["image"] = img[:h * w * 3]
+        c.close()
+
+    th = threading.Thread(target=client)
+    th.start()
+
+    def render_fn(cam, scale):
+        assert cam.image_width == w
+        return np.full((h, w, 3), 0.5, np.float32)
+
+    import time as _time
+
+    cont = True
+    for _ in range(200):  # non-blocking accept: poll until serviced
+        cont = srv.poll(render_fn, source_path="src")
+        if result:
+            break
+        _time.sleep(0.02)
+    th.join(timeout=10)
+    assert result, "viewer round-trip never completed"
+    assert cont is True
+    assert result["image"][0] == 127 or result["image"][0] == 128
+    srv.close()

@@ -510,9 +510,42 @@ class Trainer:
         ), force=True)
         ckptr.wait_until_finished()
 
+    def training_report(self, it: int, out_dir: Optional[str] = None) -> dict:
+        """Eval renders + fixed extrapolation sweeps (reference
+        training_report, train.py:511-601: test/train PSNR, augmented views
+        at zrot +-30/60, look-down+rise)."""
+        from .render_video import DEFAULT_AUG_PARAMS, render_novelview_image
+
+        report = {"iter": it, **{f"test_{k}": v
+                                 for k, v in self.evaluate().items()}}
+        if out_dir:
+            import numpy as _np
+            from PIL import Image
+
+            cams = self.scene.getTestCameras() or self.scene.getTrainCameras()
+            cam = cams[0]
+            boxes = self._frame_boxes(getattr(cam, "frame", 0))
+            base = Path(out_dir) / f"iter_{it}"
+            base.mkdir(parents=True, exist_ok=True)
+            self.scene.gaussians = self.state.field
+            for ai, aug in enumerate(DEFAULT_AUG_PARAMS):
+                img = render_novelview_image(
+                    self.scene, cam, boxes, self.raster_cfg, self.bg, aug)
+                Image.fromarray(( _np.clip(img, 0, 1) * 255).astype("uint8")
+                                ).save(base / f"aug_{ai}.png")
+        return report
+
     def train(self, iterations: Optional[int] = None,
-              log_every: int = 50, eval_every: int = 0) -> list[dict]:
+              log_every: int = 50, eval_every: int = 0,
+              logger=None) -> list[dict]:
         total = iterations or self.cfg.opt.iterations
+        if logger is None and self.cfg.model.model_path:
+            from .utils.logging import MetricsLogger
+
+            logger = MetricsLogger(self.cfg.model.model_path)
+            # config-of-record persistence (the reference's cfg_args file,
+            # train.py:334-335, as JSON instead of a re-eval'ed Namespace)
+            self.cfg.save(Path(self.cfg.model.model_path) / "cfg_args.json")
         t0 = time.time()
         for it in range(1, total + 1):
             m = self.train_iteration(it)
@@ -521,11 +554,16 @@ class Trainer:
                 m["elapsed_s"] = round(time.time() - t0, 1)
                 m["n_active"] = int(self.state.field.num_active())
                 self.metrics_log.append(m)
+                if logger:
+                    logger.log(m, step=it)
             if eval_every and it % eval_every == 0:
                 e = self.evaluate()
                 if e:
-                    self.metrics_log.append({"iter": it, **{
-                        f"eval_{k}": v for k, v in e.items()}})
+                    rec = {"iter": it,
+                           **{f"eval_{k}": v for k, v in e.items()}}
+                    self.metrics_log.append(rec)
+                    if logger:
+                        logger.log(rec, step=it)
         return self.metrics_log
 
 
