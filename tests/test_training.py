@@ -106,15 +106,32 @@ def test_dynamic_box_training(tmp_path, rng):
 
 
 def test_checkpoint_roundtrip(tmp_path, rng):
-    info = _toy_scene_info(rng)
+    info = _toy_scene_info(rng, with_box=True)
     tr = _make_trainer(tmp_path, rng, info)
-    tr.train_iteration(1)
-    tr.save_checkpoint(1)
-    import orbax.checkpoint as ocp
+    cams_with_box = [c for c in tr.scene.train_cameras if c.frame == 0]
+    tr.train_iteration(1, camera=cams_with_box[0])
+    tr.train_iteration(2)
+    tr.save_checkpoint(2)
 
-    path = (tmp_path / "model" / "checkpoints" / "1").resolve()
-    ckptr = ocp.StandardCheckpointer()
-    raw = ckptr.restore(path)
-    assert "state" in raw
+    # fresh trainer resumes to identical state
+    scene2 = __import__("vegs_tpu.scene", fromlist=["Scene"]).Scene(
+        tr.cfg.model, scene_info=info, shuffle=False)
+    from vegs_tpu.train import Trainer
+
+    tr2 = Trainer(tr.cfg, scene2, raster_cfg=RASTER)
+    for c2, c1 in zip(scene2.train_cameras + scene2.test_cameras,
+                      tr.scene.train_cameras + tr.scene.test_cameras):
+        c2.image = c1.image
+    tr2.load_checkpoint(2)
+    assert int(tr2.state.step) == int(tr.state.step)
     np.testing.assert_allclose(
-        raw["state"]["field"]["means"], np.asarray(tr.state.field.means))
+        np.asarray(tr2.state.field.means), np.asarray(tr.state.field.means))
+    np.testing.assert_allclose(
+        np.asarray(tr2.state.opt.mu.sh_dc), np.asarray(tr.state.opt.mu.sh_dc))
+    assert (0, 26001) in tr2.frame_deltas
+    np.testing.assert_allclose(
+        np.asarray(tr2.frame_deltas[(0, 26001)].delta_t),
+        np.asarray(tr.frame_deltas[(0, 26001)].delta_t))
+    # training continues from the restored state
+    m = tr2.train_iteration(3)
+    assert np.isfinite(m["loss"])

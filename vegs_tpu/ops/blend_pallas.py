@@ -299,7 +299,9 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
             cum, logT, crossed = carry
             slot = jax.lax.rem(sc, 2)
 
-            @pl.when(sc + 1 < nsc)
+            # Prefetch bound is sc_stop (not nsc): sweep B only consumes the
+            # range sweep A visited, and an un-awaited DMA wedges the device.
+            @pl.when(sc + 1 < sc_stop)
             def _():
                 _payload_dma(payload_hbm, buf, sems,
                              jax.lax.rem(sc + 1, 2), start, sc + 1).start()

@@ -494,21 +494,85 @@ class Trainer:
                 "n_cams": len(cams)}
 
     # -- checkpointing ------------------------------------------------------
+    # Optimizer-full checkpoints (the reference's capture()/chkpnt{iter}.pth
+    # and per-instance chkpnt{iter}_inst_{id}.pth, train.py:280-284), as one
+    # orbax pytree: static field + Adam moments + densify stats + step, every
+    # box field with its optimizer/stats, and all per-(frame,instance) box
+    # deltas with their Adam states.
+    def _checkpoint_tree(self) -> dict:
+        tonp = lambda t: jax.tree.map(np.asarray, t)
+        return {
+            "state": {
+                "field": tonp(self.state.field),
+                "opt": tonp(self.state.opt),
+                "stats": tonp(self.state.stats),
+                "step": np.asarray(self.state.step),
+            },
+            "boxes": {
+                str(k): {
+                    "field": tonp(self.box_fields[k]),
+                    "opt": tonp(self.box_opts[k]),
+                    "stats": tonp(self.box_stats[k]),
+                }
+                for k in self.box_fields
+            },
+            "deltas": {
+                f"{f}_{i}": {
+                    "deltas": tonp(self.frame_deltas[(f, i)]),
+                    "opt": tonp(self.frame_delta_opts[(f, i)]),
+                }
+                for (f, i) in self.frame_deltas
+            },
+        }
+
     def save_checkpoint(self, it: int) -> None:
         import orbax.checkpoint as ocp
 
         path = Path(self.cfg.model.model_path).resolve() / "checkpoints" / f"{it}"
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, dict(
-            state=jax.tree.map(np.asarray, dataclasses.asdict(
-                self.state) if not hasattr(self.state, "field") else {
-                "field": jax.tree.map(np.asarray, self.state.field),
-                "opt": jax.tree.map(np.asarray, self.state.opt),
-                "stats": jax.tree.map(np.asarray, self.state.stats),
-                "step": np.asarray(self.state.step),
-            }),
-        ), force=True)
+        ckptr.save(path, self._checkpoint_tree(), force=True)
         ckptr.wait_until_finished()
+
+    def load_checkpoint(self, it: int) -> None:
+        """Resume from a saved checkpoint (the reference's
+        --start_checkpoint_dir path, train.py:86-91)."""
+        import orbax.checkpoint as ocp
+
+        path = Path(self.cfg.model.model_path).resolve() / "checkpoints" / f"{it}"
+        raw = ocp.StandardCheckpointer().restore(path)
+
+        def as_field(d):
+            return GaussianField(**{k: jnp.asarray(v) for k, v in d.items()})
+
+        def as_adam(d):
+            return optim.AdamState(
+                mu=as_field(d["mu"]), nu=as_field(d["nu"]),
+                count=jnp.asarray(d["count"]))
+
+        def as_stats(d):
+            return DensifyStats(**{k: jnp.asarray(v) for k, v in d.items()})
+
+        s = raw["state"]
+        self.state = TrainState(
+            field=as_field(s["field"]), opt=as_adam(s["opt"]),
+            stats=as_stats(s["stats"]), step=jnp.asarray(s["step"]))
+        self.scene.gaussians = self.state.field
+        for key, b in (raw.get("boxes") or {}).items():
+            inst = int(key)
+            self.box_fields[inst] = as_field(b["field"])
+            self.box_opts[inst] = as_adam(b["opt"])
+            self.box_stats[inst] = as_stats(b["stats"])
+        for key, d in (raw.get("deltas") or {}).items():
+            frame, inst = key.rsplit("_", 1)
+            k = (int(frame), int(inst))
+            self.frame_deltas[k] = BoxDeltas(
+                **{kk: jnp.asarray(v) for kk, v in d["deltas"].items()})
+            self.frame_delta_opts[k] = optim.TensorAdamState(
+                mu={kk: jnp.asarray(v) for kk, v in d["opt"]["mu"].items()},
+                nu={kk: jnp.asarray(v) for kk, v in d["opt"]["nu"].items()},
+                count=jnp.asarray(d["opt"]["count"]))
+        if self.box_fields:
+            self.box_caps = max(f.capacity for f in self.box_fields.values())
 
     def training_report(self, it: int, out_dir: Optional[str] = None) -> dict:
         """Eval renders + fixed extrapolation sweeps (reference
