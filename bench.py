@@ -32,7 +32,7 @@ NOMINAL_BASELINE_MPIXS = 10.0
 
 H, W = 376, 1408
 N_GAUSSIANS = 500_000
-K_CAP = 1 << 22
+K_CAP = 1 << 21
 TIMING_ITERS = 8
 
 
@@ -47,7 +47,14 @@ def main():
     rng = np.random.default_rng(0)
     means, quats, scales, opac, shs = random_gaussians(
         rng, N_GAUSSIANS, depth_range=(2.0, 60.0), xy_extent=40.0,
-        scale_range=(0.01, 0.12))
+        scale_range=(0.005, 0.06))
+    # Distribute the cloud across the view frustum so (like a trained scene)
+    # nearly every Gaussian is visible: z in [2, 60], x/y filling the image.
+    z = np.asarray(rng.uniform(2.0, 60.0, N_GAUSSIANS), np.float32)
+    u = rng.uniform(-0.95, 0.95, N_GAUSSIANS)
+    v = rng.uniform(-0.95, 0.95, N_GAUSSIANS)
+    means = jnp.asarray(np.stack([
+        z * np.tan(0.6) * u, z * np.tan(0.2) * v, z], axis=1, dtype=np.float32))
     cfg = RasterizeConfig(backend="pallas", k_cap=K_CAP)
     bg = jnp.zeros(3)
 

@@ -9,7 +9,7 @@ lax.sort / searchsorted), no Pallas needed. Measured on v5e: the sort is
 
 Layout contract (consumed by blend kernels):
   * Each tile's instance range [tile_starts[t], tile_starts[t+1]) is padded to
-    a multiple of PAD_ALIGN (=512) slots — one double-buffered DMA superchunk
+    a multiple of PAD_ALIGN (=256) slots — one double-buffered DMA superchunk
     in the blend kernel — so DMA offsets are aligned and chunk writes in the
     backward never straddle two tiles.
   * Padding slots inside a range carry gidx == n (a "dummy" Gaussian index —
@@ -38,7 +38,7 @@ import jax.numpy as jnp
 DEPTH_SHIFT = 12
 TILE_SHIFT = 19
 MAX_TILES = 4094
-PAD_ALIGN = 512
+PAD_ALIGN = 256
 SENTINEL = jnp.int32(2**31 - 1)
 
 

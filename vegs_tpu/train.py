@@ -632,14 +632,82 @@ class Trainer:
 
 
 def main(argv=None):
-    from .config import parse_config
+    """CLI entry (parity with the reference's __main__, train.py:603-668:
+    param groups + test/save/checkpoint iteration lists + resume)."""
+    import argparse
 
-    cfg = parse_config(argv)
+    from .config import parse_config
+    from .utils.general import safe_state
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--test_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    ap.add_argument("--save_iterations", nargs="+", type=int, default=[30_000, 100_000])
+    ap.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    ap.add_argument("--start_checkpoint", type=int, default=None)
+    ap.add_argument("--iterations_override", type=int, default=None)
+    extra, rest = ap.parse_known_args(argv)
+
+    cfg = parse_config(rest)
+    safe_state(seed=cfg.model.seed)
     scene = Scene(cfg.model, cfg.data, cfg.box)
-    trainer = Trainer(cfg, scene)
-    trainer.train()
+    trainer = Trainer(cfg, scene, rng_seed=cfg.model.seed)
+
+    # Diffusion guidance when a local SD checkpoint is configured.
+    sd_dir = os.environ.get("VEGS_SD_CHECKPOINT")
+    if sd_dir:
+        from .losses.sd_guidance import build_guidance
+
+        lora_dir = os.path.join(
+            cfg.sd.lora_model_dir, cfg.model.data_type, cfg.data.seq,
+            f"{cfg.data.start_frame}_{cfg.data.end_frame}")
+        trainer.sd_guidance = build_guidance(
+            cfg.sd, checkpoint_dir=sd_dir,
+            lora_dir=lora_dir if os.path.isdir(lora_dir) else None,
+            max_iters=cfg.opt.iterations)
+
+    # Normal-guided covariance initialization (reference train.py:81).
+    cams_with_normals = [
+        c for c in scene.getTrainCameras() if c.normal_path or c.normal is not None
+    ]
+    if cams_with_normals:
+        from .priors import initialize_gaussians_with_window_normals
+
+        trainer.state = trainer.state.replace(
+            field=initialize_gaussians_with_window_normals(
+                trainer.state.field, cams_with_normals))
+
+    if extra.start_checkpoint is not None:
+        trainer.load_checkpoint(extra.start_checkpoint)
+
+    total = extra.iterations_override or cfg.opt.iterations
+    start = int(trainer.state.step)
+    from .utils.logging import MetricsLogger
+
+    logger = MetricsLogger(cfg.model.model_path)
+    cfg.save(Path(cfg.model.model_path) / "cfg_args.json")
+    t0 = time.time()
+    for it in range(start + 1, total + 1):
+        m = trainer.train_iteration(it)
+        if it % 50 == 0:
+            m.update(iter=it, elapsed_s=round(time.time() - t0, 1),
+                     n_active=int(trainer.state.field.num_active()))
+            logger.log(m, step=it)
+        if it in extra.test_iterations:
+            logger.log(trainer.training_report(
+                it, out_dir=Path(cfg.model.model_path) / "results"), step=it)
+        if it in extra.save_iterations:
+            scene.gaussians = trainer.state.field
+            for inst, f in trainer.box_fields.items():
+                scene.box_gaussians[inst] = f
+            scene.save(it)
+        if it in extra.checkpoint_iterations:
+            trainer.save_checkpoint(it)
+
     scene.gaussians = trainer.state.field
-    scene.save(int(trainer.state.step))
+    for inst, f in trainer.box_fields.items():
+        scene.box_gaussians[inst] = f
+    scene.save(total)
+    logger.close()
 
 
 if __name__ == "__main__":
