@@ -115,35 +115,25 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     logT = jnp.maximum(carry_logT + S, NEG_CAP)
     T1 = jnp.exp(logT)
     crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
+    # (A data-dependent skip of pass 2 via lax.cond fails to legalize in this
+    # Mosaic version — "scf.if" with vector results — so both passes always
+    # run; revisit with pl.when + scratch refs.)
+    cross_before = jax.lax.dot_general(
+        crossing, tril_s, (((1,), (0,)), ((), ())), preferred_element_type=f32
+    ) > 0.0
+    include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
 
-    def no_crossing(_):
-        # Common case: nobody hit the T threshold, pass 1 is already exact.
-        include = alpha > 0.0
-        new_logT = jnp.maximum(
-            carry_logT + jnp.sum(L, axis=1, keepdims=True), NEG_CAP)
-        return include, T1, alpha, new_logT, carry_crossed
+    # Pass 2: exact trajectory over the final inclusion set.
+    alpha_inc = jnp.where(include, alpha, 0.0)
+    Li = jnp.log1p(-alpha_inc)
+    Si = jax.lax.dot_general(Li, tril_s, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    Ti = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
 
-    def with_crossing(_):
-        # Pass 2: exclude the crossing instance and everything after it,
-        # freezing T exactly as the sequential loop does.
-        cross_before = jax.lax.dot_general(
-            crossing, tril_s, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32) > 0.0
-        include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
-        alpha_inc = jnp.where(include, alpha, 0.0)
-        Li = jnp.log1p(-alpha_inc)
-        Si = jax.lax.dot_general(Li, tril_s, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=f32)
-        Ti = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
-        new_logT = jnp.maximum(
-            carry_logT + jnp.sum(Li, axis=1, keepdims=True), NEG_CAP)
-        new_crossed = jnp.maximum(
-            carry_crossed, jnp.max(crossing, axis=1, keepdims=True))
-        return include, Ti, alpha_inc, new_logT, new_crossed
-
-    include, Ti, alpha_inc, new_logT, new_crossed = jax.lax.cond(
-        jnp.max(crossing) > 0.0, with_crossing, no_crossing, None)
-
+    new_logT = jnp.maximum(
+        carry_logT + jnp.sum(Li, axis=1, keepdims=True), NEG_CAP)
+    new_crossed = jnp.maximum(
+        carry_crossed, jnp.max(crossing, axis=1, keepdims=True))
     geom = (mx, my, ca, cb, cc, op)
     return include, Ti, alpha_inc, expp, notclamped, new_logT, new_crossed, geom
 
