@@ -222,8 +222,7 @@ def prune_only(
     extent: float = 0.0,
 ) -> tuple[GaussianField, AdamState, DensifyStats, int]:
     """Pruning pass without densification (same recompaction machinery)."""
-    cap = field.capacity
-    false = jnp.zeros((cap,), bool)
+    false = jnp.zeros((field.capacity,), bool)
     _, _, prune = densify_masks(
         field, stats, jnp.inf, 1.0, max(extent, 1e-9), min_opacity, max_screen_size
     )
