@@ -32,6 +32,60 @@ class RasterizeConfig(NamedTuple):
     clamp_radius: int = 0      # 0 = unbounded footprint
 
 
+def _gather3x8(rows: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather in 8-wide pieces (TPU's fast aligned-gather path)."""
+    return jnp.concatenate(
+        [rows[:, i * 8:(i + 1) * 8][idx] for i in range(3)], axis=1)
+
+
+@jax.custom_vjp
+def gather_payload_rows(rows: jax.Array, gidx: jax.Array) -> jax.Array:
+    """[n_rows, 24] x [K] -> [K, 24] instance payload expansion.
+
+    Custom VJP: XLA's transpose of this gather is a scatter-add with
+    colliding indices, which costs ~410 ms at 2M instances on TPU (the single
+    largest cost in the whole training step). The backward here instead sorts
+    the cotangents by Gaussian (lax.sort, ~5 ms), takes a two-level
+    (512-block) inclusive cumsum for numerical stability, and differences it
+    at per-Gaussian boundaries found by one merge-sort searchsorted — a
+    segment reduction in ~50 ms total with no scatter at all.
+    """
+    return _gather3x8(rows, gidx)
+
+
+def _gpr_fwd(rows, gidx):
+    return _gather3x8(rows, gidx), (gidx, rows.shape[0])
+
+
+def _gpr_bwd(res, g):
+    gidx, n_rows = res
+    k = gidx.shape[0]
+    order = jnp.arange(k, dtype=jnp.int32)
+    gidx_s, order_s = jax.lax.sort((gidx, order), num_keys=1)
+    g_sorted = _gather3x8(g, order_s)  # [K, 24] grouped by Gaussian
+
+    block = 512
+    k_pad = -(-k // block) * block
+    if k_pad != k:
+        g_sorted = jnp.pad(g_sorted, ((0, k_pad - k), (0, 0)))
+    x = g_sorted.reshape(k_pad // block, block, 24)
+    inner = jnp.cumsum(x, axis=1)
+    tot = inner[:, -1]
+    prefix = jnp.cumsum(tot, axis=0) - tot
+    cum = (inner + prefix[:, None, :]).reshape(k_pad, 24)
+    cum = jnp.concatenate([jnp.zeros((1, 24), cum.dtype), cum], axis=0)
+
+    ends = jnp.searchsorted(
+        gidx_s, jnp.arange(n_rows, dtype=jnp.int32), side="right",
+        method="sort").astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    d_rows = _gather3x8(cum, ends) - _gather3x8(cum, starts)
+    return d_rows, None
+
+
+gather_payload_rows.defvjp(_gpr_fwd, _gpr_bwd)
+
+
 class RasterOut(NamedTuple):
     rgb: jax.Array        # [3, H, W] (background composited)
     depth: jax.Array      # [1, H, W]
@@ -126,11 +180,12 @@ def rasterize(
     # chunk-aligned layout points them at gidx == n). Gather along ROWS in
     # 8-wide pieces — 8-float rows hit the TPU's fast aligned-gather path
     # (~4 ms/M rows) while 17-wide rows take ~30 ms/M — then transpose into
-    # the blend kernel's [17, K] layout. The autodiff transpose is the
-    # matching set of row scatter-adds.
+    # the blend kernel's [17, K] layout. The gather carries a custom VJP
+    # (sorted segment reduction) replacing XLA's catastrophically slow
+    # colliding scatter-add transpose.
     payload_rows = jnp.pad(payload_rows_unpadded, ((0, 1), (0, 7)))  # [n+1, 24]
-    parts = [payload_rows[:, i * 8:(i + 1) * 8][binned.gidx] for i in range(3)]
-    payload_sorted = jnp.concatenate(parts, axis=1)[:, :17].T        # [17, k_cap]
+    payload_sorted = gather_payload_rows(
+        payload_rows, binned.gidx)[:, :17].T                         # [17, k_cap]
 
     backend = _resolve_backend(config.backend)
     if backend == "dense":
