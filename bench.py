@@ -47,7 +47,7 @@ def main():
     rng = np.random.default_rng(0)
     means, quats, scales, opac, shs = random_gaussians(
         rng, N_GAUSSIANS, depth_range=(2.0, 60.0), xy_extent=40.0,
-        scale_range=(0.005, 0.06))
+        scale_range=(0.002, 0.025))
     # Distribute the cloud across the view frustum so (like a trained scene)
     # nearly every Gaussian is visible: z in [2, 60], x/y filling the image.
     z = np.asarray(rng.uniform(2.0, 60.0, N_GAUSSIANS), np.float32)
