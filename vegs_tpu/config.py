@@ -37,7 +37,7 @@ class PipelineParams:
     debug: bool = False
     # TPU-specific knobs (no reference analog):
     backend: str = "auto"          # rasterizer blend backend
-    k_cap: int = 1 << 22           # tile-instance capacity
+    k_cap: int = 1 << 20           # tile-instance capacity (auto-grows on overflow)
     clamp_radius: int = 0
 
 

@@ -335,7 +335,7 @@ class Trainer:
         return self.scene.train_bboxes.get(int(frame), {})
 
     def _get_step_fn(self, n_slots: int, static_cap: int, box_cap: int):
-        key = (n_slots, static_cap, box_cap)
+        key = (n_slots, static_cap, box_cap, self.raster_cfg.k_cap)
         if key not in self._step_cache:
             cfg = self.cfg
             self._step_cache[key] = make_train_step(
@@ -347,6 +347,17 @@ class Trainer:
                 sh_total_degree=cfg.model.sh_degree,
             )
         return self._step_cache[key]
+
+    def _adapt_k_cap(self, num_dropped: float) -> None:
+        """Dynamic tile-instance capacity: every rasterizer stage is O(k_cap)
+        (sorts, gathers, segment reductions all run at the static capacity),
+        so track overflow and grow the bucket by 2x when instances are being
+        dropped. A retrace per bucket change is amortized over thousands of
+        steps."""
+        if num_dropped > 0:
+            self.raster_cfg = self.raster_cfg._replace(
+                k_cap=self.raster_cfg.k_cap * 2)
+            self._guidance_fn = None  # rebuilt with the new capacity
 
     # -- one iteration ------------------------------------------------------
     def train_iteration(self, it: int, camera=None) -> dict:
@@ -428,6 +439,7 @@ class Trainer:
 
         if g_extra is not None:
             metrics = {**metrics, "guidance_loss": g_loss}
+        self._adapt_k_cap(float(metrics.get("num_dropped", 0.0)))
 
         # write back per-instance state
         if n_slots:
