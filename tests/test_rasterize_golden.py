@@ -162,3 +162,24 @@ def test_mark_visible(rng):
     pts = jnp.asarray([[0, 0, 5.0], [0, 0, -5.0], [0, 0, 0.1]])
     vis = np.asarray(mark_visible(pts, cam.viewmatrix, cam.projmatrix))
     assert vis.tolist() == [True, False, False]
+
+
+def test_render_pipe_flags_parity(rng):
+    """convert_SHs_python / compute_cov3D_python produce the same image."""
+    from vegs_tpu import gaussians as glib
+    from vegs_tpu.render import render
+
+    h, w = 32, 64
+    cam = make_camera(height=h, width=w)
+    pts = np.asarray(rng.normal(size=(64, 3)) + [0, 0, 4.0], np.float32)
+    cols = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    field = glib.create_from_points(pts, cols, capacity=128)
+    cfg = RasterizeConfig(backend="dense", k_cap=1 << 12)
+    base = render(cam, field, config=cfg)
+    via_sh = render(cam, field, config=cfg, convert_SHs_python=True,
+                    active_sh_degree=3)
+    via_cov = render(cam, field, config=cfg, compute_cov3D_python=True)
+    np.testing.assert_allclose(np.asarray(via_sh.rgb), np.asarray(base.rgb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(via_cov.rgb), np.asarray(base.rgb),
+                               atol=1e-5)

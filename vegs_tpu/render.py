@@ -108,12 +108,41 @@ def render(
     sh_degree: int = 3,
     config: RasterizeConfig = RasterizeConfig(),
     means2d_offset: Optional[jax.Array] = None,
+    convert_SHs_python: bool = False,
+    compute_cov3D_python: bool = False,
 ) -> RasterOut:
-    """Render the static field (reference render(), 20-119)."""
+    """Render the static field (reference render(), 20-119).
+
+    The pipe flags mirror the reference's PipelineParams: under XLA both
+    paths trace into the same fused program, so they are semantic parity
+    switches (SH evaluated outside the rasterizer / covariance precomputed)
+    rather than performance toggles."""
     arrays = field_arrays(field, active_sh_degree)
-    return _run(camera, arrays, bg=bg, scale_modifier=scale_modifier,
-                override_color=override_color, sh_degree=sh_degree,
-                config=config, means2d_offset=means2d_offset)
+    cov6_precomp = None
+    if compute_cov3D_python:
+        from . import geometry as _geo
+
+        cov6_precomp = _geo.strip_symmetric(
+            _geo.covariance_from_scaling_rotation(
+                arrays.scales, arrays.quats, scale_modifier))
+    if convert_SHs_python and override_color is None:
+        from . import sh as _sh
+        cam = _as_cam_params(camera)
+        dirs = arrays.means - cam.campos[None, :]
+        sq = jnp.sum(dirs * dirs, axis=1, keepdims=True)
+        dirs = dirs / jnp.sqrt(jnp.maximum(sq, 1e-24))
+        deg = int(active_sh_degree) if isinstance(active_sh_degree, int) else sh_degree
+        override_color = jnp.maximum(
+            _sh.eval_sh(deg, jnp.swapaxes(
+                arrays.shs[:, :_sh.num_sh_coeffs(deg), :], 1, 2), dirs) + 0.5,
+            0.0)
+    cam = _as_cam_params(camera)
+    return rasterize(
+        arrays.means, arrays.quats, arrays.scales, arrays.opacities,
+        arrays.shs, cam,
+        colors_precomp=override_color, cov6_precomp=cov6_precomp,
+        sh_degree=sh_degree, bg=bg, scale_modifier=scale_modifier,
+        valid=arrays.valid, means2d_offset=means2d_offset, config=config)
 
 
 class BoxInstance(NamedTuple):
