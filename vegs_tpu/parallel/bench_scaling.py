@@ -20,6 +20,11 @@ import numpy as np
 
 def run(device_counts, n_gaussians=100_000, height=256, width=512,
         iters=4, backend="pallas"):
+    if backend == "dense":
+        # The dense reference blend materializes [k_cap, H*W] — usable only
+        # at test scale. Shrink so the CPU path stays in memory.
+        n_gaussians = min(n_gaussians, 2_000)
+        height, width = min(height, 48), min(width, 128)
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +41,8 @@ def run(device_counts, n_gaussians=100_000, height=256, width=512,
     pts[:, 2] = np.abs(pts[:, 2]) + 2
     cols = rng.uniform(0, 1, (n_gaussians, 3)).astype(np.float32)
     field = gaussians.create_from_points(pts, cols)
-    raster = RasterizeConfig(backend=backend, k_cap=1 << 19)
+    raster = RasterizeConfig(
+        backend=backend, k_cap=(1 << 13) if backend == "dense" else (1 << 19))
 
     results = {}
     for nd in device_counts:
