@@ -16,7 +16,7 @@ from utils import make_camera, random_gaussians
 K_CAP = 1 << 13
 
 
-def _setup(rng, n=220, h=32, w=128):
+def _setup(rng, n=220, h=32, w=128, aux_dtype=jnp.float32):
     cam = make_camera(height=h, width=w)
     means, quats, scales, opac, shs = random_gaussians(rng, n)
     cov6 = geometry.strip_symmetric(
@@ -26,24 +26,30 @@ def _setup(rng, n=220, h=32, w=128):
     grid = binning.TileGrid.for_image(h, w)
     binned = binning.bin_gaussians(proj.means2d, proj.depths, proj.radii, grid, K_CAP)
     quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
-    payload = jnp.concatenate(
-        [
-            proj.means2d.T, proj.conics.T, proj.opacities[None],
-            proj.rgb.T, proj.depths[None], quat_n.T, scales.T,
-        ],
-        axis=0,
-    )
-    payload = jnp.pad(payload, ((0, 0), (0, 1)))
-    payload_sorted = payload[:, binned.gidx]
-    return cam, grid, binned, payload_sorted, (h, w)
+    pay_f32 = jnp.concatenate(
+        [proj.means2d.T, proj.conics.T, proj.opacities[None],
+         proj.depths[None], jnp.zeros((1, n))], axis=0)
+    pay_aux = jnp.concatenate(
+        [proj.rgb.T, quat_n.T, scales.T, jnp.zeros((6, n))], axis=0
+    ).astype(aux_dtype)
+    pf = jnp.pad(pay_f32, ((0, 0), (0, 1)))[:, binned.gidx]
+    pa = jnp.pad(pay_aux, ((0, 0), (0, 1)))[:, binned.gidx]
+    return cam, grid, binned, pf, pa, (h, w)
+
+
+def _dense_payload(pf, pa):
+    """Assemble the [17, K] golden layout from the split payload."""
+    pa_f = pa.astype(jnp.float32)
+    return jnp.concatenate(
+        [pf[:6], pa_f[0:3], pf[6:7], pa_f[3:10]], axis=0)
 
 
 def test_pallas_forward_matches_dense(rng):
-    cam, grid, binned, payload_sorted, (h, w) = _setup(rng)
+    cam, grid, binned, pf, pa, (h, w) = _setup(rng)
     hp, wp = grid.padded_height, grid.padded_width
-    out_p = blend_pallas.blend(payload_sorted, binned.tile_starts, grid, hp, wp)
+    out_p = blend_pallas.blend(pf, pa, binned.tile_starts, grid, hp, wp)
     out_d = blend_ref.blend_dense(
-        payload_sorted, binned.sort_keys, binned.tile_starts, grid, hp, wp
+        _dense_payload(pf, pa), binned.sort_keys, binned.tile_starts, grid, hp, wp
     )
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_d), atol=3e-5, rtol=1e-4
@@ -52,28 +58,43 @@ def test_pallas_forward_matches_dense(rng):
     assert np.asarray(out_p)[blend_ref.N_ACCUM].min() < 0.9
 
 
+def test_pallas_forward_bf16_payload_close(rng):
+    """bf16 rgb/quat/scale payload stays within bf16 rounding of the f32 path."""
+    cam, grid, binned, pf, pa, (h, w) = _setup(rng, aux_dtype=jnp.bfloat16)
+    hp, wp = grid.padded_height, grid.padded_width
+    out_b = blend_pallas.blend(pf, pa, binned.tile_starts, grid, hp, wp)
+    out_f = blend_pallas.blend(
+        pf, pa.astype(jnp.float32), binned.tile_starts, grid, hp, wp)
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_f), atol=2e-2, rtol=1e-2
+    )
+
+
 def test_pallas_backward_matches_dense(rng):
-    cam, grid, binned, payload_sorted, (h, w) = _setup(rng, n=150)
+    cam, grid, binned, pf, pa, (h, w) = _setup(rng, n=150)
     hp, wp = grid.padded_height, grid.padded_width
 
     key = jax.random.key(1)
     dout_seed = jax.random.normal(key, (blend_ref.OUT_CHANNELS, hp, wp))
 
-    def loss_p(pay):
-        out = blend_pallas.blend(pay, binned.tile_starts, grid, hp, wp)
+    def loss_p(pf, pa):
+        out = blend_pallas.blend(pf, pa, binned.tile_starts, grid, hp, wp)
         return jnp.sum(out * dout_seed)
 
-    def loss_d(pay):
+    def loss_d(pf, pa):
         out = blend_ref.blend_dense(
-            pay, binned.sort_keys, binned.tile_starts, grid, hp, wp
+            _dense_payload(pf, pa), binned.sort_keys, binned.tile_starts,
+            grid, hp, wp
         )
         return jnp.sum(out * dout_seed)
 
-    gp = np.asarray(jax.grad(loss_p)(payload_sorted))
-    gd = np.asarray(jax.grad(loss_d)(payload_sorted))
-    assert np.isfinite(gp).all()
-    scale = np.abs(gd).max() + 1e-8
-    np.testing.assert_allclose(gp / scale, gd / scale, atol=2e-5)
+    gp_f, gp_a = jax.grad(loss_p, argnums=(0, 1))(pf, pa)
+    gd_f, gd_a = jax.grad(loss_d, argnums=(0, 1))(pf, pa)
+    for a, b, name in [(gp_f, gd_f, "f32"), (gp_a, gd_a, "aux")]:
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5, err_msg=name)
 
 
 def test_rasterize_pallas_backend_end_to_end(rng):
@@ -81,8 +102,8 @@ def test_rasterize_pallas_backend_end_to_end(rng):
     cam = make_camera(height=h, width=w)
     means, quats, scales, opac, shs = random_gaussians(rng, 120)
     bg = jnp.asarray([0.2, 0.1, 0.4])
-    cfg_p = RasterizeConfig(backend="pallas", k_cap=K_CAP)
-    cfg_d = RasterizeConfig(backend="dense", k_cap=K_CAP)
+    cfg_p = RasterizeConfig(backend="pallas", k_cap=K_CAP, payload_dtype="f32")
+    cfg_d = RasterizeConfig(backend="dense", k_cap=K_CAP, payload_dtype="f32")
     out_p = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=cfg_p)
     out_d = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=cfg_d)
     np.testing.assert_allclose(
@@ -103,3 +124,29 @@ def test_rasterize_pallas_backend_end_to_end(rng):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=3e-4, err_msg=name)
+
+
+def test_rasterize_bf16_payload_end_to_end_close(rng):
+    """Default (bf16) payload: image and grads near the f32 path; gradients
+    tolerate one bf16 rounding of the rgb/quat/scale channels."""
+    h, w = 32, 128
+    cam = make_camera(height=h, width=w)
+    means, quats, scales, opac, shs = random_gaussians(rng, 120)
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    cfg_b = RasterizeConfig(backend="pallas", k_cap=K_CAP, payload_dtype="bf16")
+    cfg_f = RasterizeConfig(backend="pallas", k_cap=K_CAP, payload_dtype="f32")
+
+    def loss(means, quats, scales, opac, shs, cfg):
+        out = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=cfg)
+        return jnp.mean(out.rgb**2) + jnp.mean(out.depth**2)
+
+    lb = loss(means, quats, scales, opac, shs, cfg_b)
+    lf = loss(means, quats, scales, opac, shs, cfg_f)
+    np.testing.assert_allclose(float(lb), float(lf), rtol=2e-2)
+
+    gb = jax.grad(loss, argnums=(0, 2))(means, quats, scales, opac, shs, cfg_b)
+    gf = jax.grad(loss, argnums=(0, 2))(means, quats, scales, opac, shs, cfg_f)
+    for a, b, name in zip(gb, gf, ["means", "scales"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2, err_msg=name)

@@ -15,6 +15,11 @@ compute, processing 128-instance chunks whose math is all MXU matmuls:
     chunks,
   * channel accumulation is a [P,M]x[M,11] matmul.
 
+The payload arrives as TWO channel-major arrays (rasterize.py round-2 mixed
+precision rework): `payload_f32 [8, K]` (mx, my, conic a/b/c, opacity, depth)
+and `payload_aux [16, K]` (rgb, quat, scale) in bf16 or f32 — 64 B/instance
+of DMA instead of 96, both slices aligned to their dtype's native tiling.
+
 The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with a
 two-pass-per-chunk scheme: pass 1 locates each pixel's first crossing from
 the unmasked trajectory (identical up to the first crossing), pass 2 re-runs
@@ -24,13 +29,13 @@ the tile has crossed (lax.while_loop with DMA drain).
 
 The backward pass needs no atomics: binning's superchunk-aligned layout gives
 every 512-instance superchunk to exactly one tile, so per-instance gradients
-are written to disjoint HBM slices (double-buffered write DMA); the transpose
-of the payload gather (an XLA scatter-add outside this kernel) reduces
-instance grads onto Gaussians. The suffix sums of the compositing backward
-are rewritten as (global - inclusive prefix), so both backward sweeps walk
-chunks FORWARD (sweep A accumulates the per-pixel total G = sum_i w_i dw_i;
-sweep B forms per-instance gradients) — no reverse traversal, no stored
-trajectories.
+are written to disjoint HBM slices (double-buffered write DMA); the custom
+VJP of the payload gather (rasterize.gather_expand) reduces instance grads
+onto Gaussians with a presorted segment reduction. The suffix sums of the
+compositing backward are rewritten as (global - inclusive prefix), so both
+backward sweeps walk chunks FORWARD (sweep A accumulates the per-pixel total
+G = sum_i w_i dw_i; sweep B forms per-instance gradients) — no reverse
+traversal, no stored trajectories.
 
 Semantics match vegs_tpu.ops.blend_ref exactly (the golden spec).
 """
@@ -45,11 +50,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import PAD_ALIGN, TileGrid
-from .blend_ref import ALPHA_CLAMP, ALPHA_MIN, N_ACCUM, OUT_CHANNELS, PAYLOAD_ROWS, T_EPS
+from .blend_ref import ALPHA_CLAMP, ALPHA_MIN, N_ACCUM, OUT_CHANNELS, T_EPS
 
 CHUNK = 128                    # instances per compute chunk
 SUPER = PAD_ALIGN // CHUNK     # chunks per DMA superchunk (4)
-ROWS_PAD = 24                  # payload rows padded 17 -> 24 (sublane tiling)
+F32_ROWS = 8                   # payload_f32 rows
+AUX_ROWS = 16                  # payload_aux rows
 TILES_PER_PROG = 8             # 8 adjacent 16x16 tiles = one (16,128) block
 NEG_CAP = -80.0                # clamp for log-transmittance
 
@@ -71,19 +77,27 @@ def _pixel_monomials(tile_h: int, tile_w: int) -> jax.Array:
     return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)
 
 
-def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
+def _chan_matrix(cf, aux):
+    """[11, C] accumulation channels (rgb, depth, quat, scale) from the f32
+    chunk (depth = row 6) and upcast aux chunk (rgb rows 0-2, quat 3-6,
+    scale 7-9), in the blend_ref payload-row order 6..16."""
+    a = aux.astype(jnp.float32)
+    return jnp.concatenate([a[0:3], cf[6:7], a[3:10]], axis=0)
+
+
+def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed):
     """Shared fwd/bwd per-chunk compute (see module docstring).
 
-    chunk: [ROWS_PAD, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
+    cf: [F32_ROWS, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
     Pixel-major ([P, CHUNK]) keeps the instance axis on VPU lanes.
     """
     f32 = jnp.float32
-    mx = chunk[0:1, :] - ox            # [1, C] tile-local
-    my = chunk[1:2, :] - oy
-    ca = chunk[2:3, :]
-    cb = chunk[3:4, :]
-    cc = chunk[4:5, :]
-    op = chunk[5:6, :]
+    mx = cf[0:1, :] - ox            # [1, C] tile-local
+    my = cf[1:2, :] - oy
+    ca = cf[2:3, :]
+    cb = cf[3:4, :]
+    cc = cf[4:5, :]
+    op = cf[5:6, :]
 
     q = jnp.concatenate(
         [
@@ -117,7 +131,7 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
     # (A data-dependent skip of pass 2 via lax.cond fails to legalize in this
     # Mosaic version — "scf.if" with vector results — so both passes always
-    # run; revisit with pl.when + scratch refs.)
+    # run; revisit with pl.when + scratch-ref staging.)
     cross_before = jax.lax.dot_general(
         crossing, tril_s, (((1,), (0,)), ((), ())), preferred_element_type=f32
     ) > 0.0
@@ -138,16 +152,29 @@ def _chunk_common(chunk, ox, oy, mono, carry_logT, carry_crossed):
     return include, Ti, alpha_inc, expp, notclamped, new_logT, new_crossed, geom
 
 
-def _payload_dma(payload_hbm, buf_ref, sems, slot, start, sc):
+def _payload_dmas(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc):
     off = pl.multiple_of(start + sc * PAD_ALIGN, PAD_ALIGN)
-    return pltpu.make_async_copy(
-        payload_hbm.at[:, pl.ds(off, PAD_ALIGN)], buf_ref.at[slot],
-        sems.at[slot],
-    )
+    cf = pltpu.make_async_copy(
+        pf_hbm.at[:, pl.ds(off, PAD_ALIGN)], buf_f.at[slot], sems.at[slot, 0])
+    ca = pltpu.make_async_copy(
+        pa_hbm.at[:, pl.ds(off, PAD_ALIGN)], buf_a.at[slot], sems.at[slot, 1])
+    return cf, ca
 
 
-def _fwd_kernel(starts_ref, payload_hbm, out_ref, buf, acc_scratch, sems, *,
-                ntx: int, tile_h: int, tile_w: int):
+def _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc):
+    cf, ca = _payload_dmas(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
+    cf.start()
+    ca.start()
+
+
+def _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc):
+    cf, ca = _payload_dmas(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
+    cf.wait()
+    ca.wait()
+
+
+def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
+                acc_scratch, sems, *, ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
@@ -163,7 +190,7 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, buf, acc_scratch, sems, *,
 
         @pl.when(nsc > 0)
         def _():
-            _payload_dma(payload_hbm, buf, sems, 0, start, 0).start()
+            _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, 0, start, 0)
 
         def cond(state):
             sc, acc, logT, crossed = state
@@ -175,17 +202,19 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, buf, acc_scratch, sems, *,
 
             @pl.when(sc + 1 < nsc)
             def _():
-                _payload_dma(payload_hbm, buf, sems,
-                             jax.lax.rem(sc + 1, 2), start, sc + 1).start()
+                _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
+                               jax.lax.rem(sc + 1, 2), start, sc + 1)
 
-            _payload_dma(payload_hbm, buf, sems, slot, start, sc).wait()
+            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
             for s in range(SUPER):
-                chunk = buf[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
                 include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
-                    chunk, ox, oy, mono, logT, crossed)
+                    cf, ox, oy, mono, logT, crossed)
                 w = alpha_inc * Ti  # [P, C]
+                chan = _chan_matrix(cf, aux)  # [11, C]
                 acc = acc + jax.lax.dot_general(
-                    w, chunk[6:6 + N_ACCUM, :], (((1,), (1,)), ((), ())),
+                    w, chan, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
             return sc + 1, acc, logT, crossed
 
@@ -200,8 +229,8 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, buf, acc_scratch, sems, *,
         # Early exit leaves the prefetched superchunk un-awaited: drain it.
         @pl.when(sc_e < nsc)
         def _():
-            _payload_dma(payload_hbm, buf, sems,
-                         jax.lax.rem(sc_e, 2), start, sc_e).wait()
+            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
+                          jax.lax.rem(sc_e, 2), start, sc_e)
 
         # Dynamic-lane stores are not provably 128-aligned; stage per-tile
         # results in scratch (leading-dim dynamic index is fine) and copy out
@@ -215,9 +244,9 @@ def _fwd_kernel(starts_ref, payload_hbm, out_ref, buf, acc_scratch, sems, *,
         out_ref[:, :, jt * tile_w:(jt + 1) * tile_w] = jnp.transpose(block, (2, 0, 1))
 
 
-def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
-                buf, dgrad_buf, dpix_scratch, sems, wr_sems, *,
-                ntx: int, tile_h: int, tile_w: int):
+def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
+                buf_f, buf_a, dgrad_f, dgrad_a, dpix_scratch, sems, wr_sems,
+                *, ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
@@ -231,12 +260,15 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
         dblock = dout_ref[:, :, jt_s * tile_w:(jt_s + 1) * tile_w]
         dpix_scratch[jt_s] = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
 
-    def grad_write_dma(slot, start, sc):
+    def grad_write_dmas(slot, start, sc):
         off = pl.multiple_of(start + sc * PAD_ALIGN, PAD_ALIGN)
-        return pltpu.make_async_copy(
-            dgrad_buf.at[slot], dpay_hbm.at[:, pl.ds(off, PAD_ALIGN)],
-            wr_sems.at[slot],
-        )
+        wf = pltpu.make_async_copy(
+            dgrad_f.at[slot], dpf_hbm.at[:, pl.ds(off, PAD_ALIGN)],
+            wr_sems.at[slot, 0])
+        wa = pltpu.make_async_copy(
+            dgrad_a.at[slot], dpa_hbm.at[:, pl.ds(off, PAD_ALIGN)],
+            wr_sems.at[slot, 1])
+        return wf, wa
 
     def tile_body(jt, _):
         tile_id = i * ntx + j * TILES_PER_PROG + jt
@@ -253,7 +285,7 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
         # ---- Sweep A: per-pixel total G = sum_i w_i dw_i, final logT ------
         @pl.when(nsc > 0)
         def _():
-            _payload_dma(payload_hbm, buf, sems, 0, start, 0).start()
+            _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, 0, start, 0)
 
         def condA(state):
             sc, G, logT, crossed = state
@@ -265,17 +297,19 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
 
             @pl.when(sc + 1 < nsc)
             def _():
-                _payload_dma(payload_hbm, buf, sems,
-                             jax.lax.rem(sc + 1, 2), start, sc + 1).start()
+                _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
+                               jax.lax.rem(sc + 1, 2), start, sc + 1)
 
-            _payload_dma(payload_hbm, buf, sems, slot, start, sc).wait()
+            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
             for s in range(SUPER):
-                chunk = buf[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
                 include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
-                    chunk, ox, oy, mono, logT, crossed)
+                    cf, ox, oy, mono, logT, crossed)
                 w = alpha_inc * Ti
+                chan = _chan_matrix(cf, aux)
                 dw = jax.lax.dot_general(
-                    dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
+                    dout_acc, chan, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32)
                 G = G + jnp.sum(w * dw, axis=1, keepdims=True)
             return sc + 1, G, logT, crossed
@@ -287,8 +321,8 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
 
         @pl.when(sc_stop < nsc)
         def _():
-            _payload_dma(payload_hbm, buf, sems,
-                         jax.lax.rem(sc_stop, 2), start, sc_stop).wait()
+            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
+                          jax.lax.rem(sc_stop, 2), start, sc_stop)
 
         T_fin = jnp.exp(logT_fin)
         tail = G + T_fin * dT_fin  # [P, 1]
@@ -296,7 +330,7 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
         # ---- Sweep B: per-instance gradients ------------------------------
         @pl.when(nsc > 0)
         def _():
-            _payload_dma(payload_hbm, buf, sems, 0, start, 0).start()
+            _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, 0, start, 0)
 
         def bodyB(sc, carry):
             cum, logT, crossed = carry
@@ -306,25 +340,29 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
             # range sweep A visited, and an un-awaited DMA wedges the device.
             @pl.when(sc + 1 < sc_stop)
             def _():
-                _payload_dma(payload_hbm, buf, sems,
-                             jax.lax.rem(sc + 1, 2), start, sc + 1).start()
+                _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
+                               jax.lax.rem(sc + 1, 2), start, sc + 1)
 
-            _payload_dma(payload_hbm, buf, sems, slot, start, sc).wait()
+            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
 
-            # The write buffer for this slot may still be in flight from two
+            # The write buffers for this slot may still be in flight from two
             # superchunks ago: wait before overwriting.
             @pl.when(sc >= 2)
             def _():
-                grad_write_dma(slot, start, sc - 2).wait()
+                wf, wa = grad_write_dmas(slot, start, sc - 2)
+                wf.wait()
+                wa.wait()
 
             for s in range(SUPER):
-                chunk = buf[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
+                aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
                 include, Ti, alpha_inc, expp, notclamped, logT, crossed, geom = (
-                    _chunk_common(chunk, ox, oy, mono, logT, crossed))
+                    _chunk_common(cf, ox, oy, mono, logT, crossed))
                 mx, my, ca, cb, cc, op = geom
                 w = alpha_inc * Ti
+                chan = _chan_matrix(cf, aux)
                 dw = jax.lax.dot_general(
-                    dout_acc, chunk[6:6 + N_ACCUM, :], (((1,), (0,)), ((), ())),
+                    dout_acc, chan, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32)
                 wdw = w * dw
                 cum_incl = cum + jax.lax.dot_general(
@@ -354,12 +392,20 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
                     dout_acc, w, (((0,), (0,)), ((), ())),
                     preferred_element_type=f32)  # [11, C]
 
-                dgrad_buf[slot, :, s * CHUNK:(s + 1) * CHUNK] = jnp.concatenate(
-                    [dmx, dmy, dca, dcb, dcc, dop, dchan,
-                     jnp.zeros((ROWS_PAD - PAYLOAD_ROWS, CHUNK), f32)], axis=0)
+                # Split per-instance grads back into the two payload layouts:
+                # f32 (dmx, dmy, dconic, dop, ddepth) / aux (drgb, dquat, dscale).
+                dgrad_f[slot, :, s * CHUNK:(s + 1) * CHUNK] = jnp.concatenate(
+                    [dmx, dmy, dca, dcb, dcc, dop, dchan[3:4],
+                     jnp.zeros((1, CHUNK), f32)], axis=0)
+                dgrad_a[slot, :, s * CHUNK:(s + 1) * CHUNK] = jnp.concatenate(
+                    [dchan[0:3], dchan[4:11],
+                     jnp.zeros((AUX_ROWS - 10, CHUNK), f32)],
+                    axis=0).astype(dgrad_a.dtype)
                 cum = cum + jnp.sum(wdw, axis=1, keepdims=True)
 
-            grad_write_dma(slot, start, sc).start()
+            wf, wa = grad_write_dmas(slot, start, sc)
+            wf.start()
+            wa.start()
             return cum, logT, crossed
 
         jax.lax.fori_loop(
@@ -370,20 +416,27 @@ def _bwd_kernel(starts_ref, payload_hbm, dout_ref, dpay_hbm,
         # Drain outstanding gradient writes.
         @pl.when(sc_stop >= 2)
         def _():
-            grad_write_dma(jax.lax.rem(sc_stop - 2, 2), start, sc_stop - 2).wait()
+            wf, wa = grad_write_dmas(jax.lax.rem(sc_stop - 2, 2), start, sc_stop - 2)
+            wf.wait()
+            wa.wait()
 
         @pl.when(sc_stop >= 1)
         def _():
-            grad_write_dma(jax.lax.rem(sc_stop - 1, 2), start, sc_stop - 1).wait()
+            wf, wa = grad_write_dmas(jax.lax.rem(sc_stop - 1, 2), start, sc_stop - 1)
+            wf.wait()
+            wa.wait()
 
         # Superchunks beyond sc_stop (all pixels crossed early) still hold real
         # instances that need zero gradients written.
         def bodyZ(sc, _):
             slot = jax.lax.rem(sc, 2)
-            dgrad_buf[slot] = jnp.zeros((ROWS_PAD, PAD_ALIGN), f32)
-            wr = grad_write_dma(slot, start, sc)
-            wr.start()
-            wr.wait()
+            dgrad_f[slot] = jnp.zeros((F32_ROWS, PAD_ALIGN), f32)
+            dgrad_a[slot] = jnp.zeros((AUX_ROWS, PAD_ALIGN), dgrad_a.dtype)
+            wf, wa = grad_write_dmas(slot, start, sc)
+            wf.start()
+            wa.start()
+            wf.wait()
+            wa.wait()
             return 0
 
         jax.lax.fori_loop(sc_stop, nsc, bodyZ, 0)
@@ -401,12 +454,10 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _blend_fwd_impl(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: int):
+def _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid: TileGrid,
+                    hp: int, wp: int):
     nty, njg = _grid_dims(grid)
-    # Mosaic requires DMA slice shapes aligned to the (8,128) tiling: pad the
-    # 17 payload rows to 24. The kernels only read rows < PAYLOAD_ROWS.
-    payload_sorted = jnp.pad(
-        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0)))
+    aux_dtype = payload_aux.dtype
     kernel = functools.partial(
         _fwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
     return pl.pallas_call(
@@ -414,81 +465,97 @@ def _blend_fwd_impl(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: in
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nty, njg),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
             out_specs=pl.BlockSpec(
                 (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
                 lambda i, j, *refs: (0, i, j),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS_PAD, PAD_ALIGN), jnp.float32),
+                pltpu.VMEM((2, F32_ROWS, PAD_ALIGN), jnp.float32),
+                pltpu.VMEM((2, AUX_ROWS, PAD_ALIGN), aux_dtype),
                 pltpu.VMEM(
                     (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
                     jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((OUT_CHANNELS, hp, wp), jnp.float32),
         interpret=_use_interpret(),
-    )(tile_starts, payload_sorted)
+    )(tile_starts, payload_f32, payload_aux)
 
 
-def _blend_bwd_impl(payload_sorted, tile_starts, dout, grid: TileGrid):
+def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout,
+                    grid: TileGrid):
     nty, njg = _grid_dims(grid)
-    k_cap = payload_sorted.shape[1]
-    payload_sorted = jnp.pad(
-        payload_sorted, ((0, ROWS_PAD - PAYLOAD_ROWS), (0, 0)))
+    k_cap = payload_f32.shape[1]
+    aux_dtype = payload_aux.dtype
     kernel = functools.partial(
         _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
-    dpay = pl.pallas_call(
+    dpf, dpa = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nty, njg),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # payload
+                pl.BlockSpec(memory_space=pl.ANY),  # payload f32
+                pl.BlockSpec(memory_space=pl.ANY),  # payload aux
                 pl.BlockSpec(
                     (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
                     lambda i, j, *refs: (0, i, j),
                     memory_space=pltpu.VMEM,
                 ),  # dout
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
             scratch_shapes=[
-                pltpu.VMEM((2, ROWS_PAD, PAD_ALIGN), jnp.float32),
-                pltpu.VMEM((2, ROWS_PAD, PAD_ALIGN), jnp.float32),
+                pltpu.VMEM((2, F32_ROWS, PAD_ALIGN), jnp.float32),
+                pltpu.VMEM((2, AUX_ROWS, PAD_ALIGN), aux_dtype),
+                pltpu.VMEM((2, F32_ROWS, PAD_ALIGN), jnp.float32),
+                pltpu.VMEM((2, AUX_ROWS, PAD_ALIGN), aux_dtype),
                 pltpu.VMEM(
                     (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
                     jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((ROWS_PAD, k_cap), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((F32_ROWS, k_cap), jnp.float32),
+            jax.ShapeDtypeStruct((AUX_ROWS, k_cap), aux_dtype),
+        ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_use_interpret(),
-    )(tile_starts, payload_sorted, dout)
+    )(tile_starts, payload_f32, payload_aux, dout)
     # Slots past the last tile boundary were never written by any program —
     # zero them (their gidx is the dummy column anyway, but keep them clean).
     k = jnp.arange(k_cap, dtype=jnp.int32)
-    return jnp.where(k[None, :] < tile_starts[-1], dpay[:PAYLOAD_ROWS], 0.0)
+    live = k[None, :] < tile_starts[-1]
+    return (jnp.where(live, dpf, 0.0),
+            jnp.where(live, dpa, jnp.zeros((), aux_dtype)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blend(payload_sorted, tile_starts, grid: TileGrid, hp: int, wp: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def blend(payload_f32, payload_aux, tile_starts, grid: TileGrid,
+          hp: int, wp: int):
     """Composite sorted instances into a [12, hp, wp] image (spec: blend_ref)."""
-    return _blend_fwd_impl(payload_sorted, tile_starts, grid, hp, wp)
+    return _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid, hp, wp)
 
 
-def _blend_vjp_fwd(payload_sorted, tile_starts, grid, hp, wp):
-    out = _blend_fwd_impl(payload_sorted, tile_starts, grid, hp, wp)
-    return out, (payload_sorted, tile_starts)
+def _blend_vjp_fwd(payload_f32, payload_aux, tile_starts, grid, hp, wp):
+    out = _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid, hp, wp)
+    return out, (payload_f32, payload_aux, tile_starts)
 
 
 def _blend_vjp_bwd(grid, hp, wp, residuals, dout):
-    payload_sorted, tile_starts = residuals
-    dpay = _blend_bwd_impl(payload_sorted, tile_starts, dout, grid)
-    return dpay, None
+    payload_f32, payload_aux, tile_starts = residuals
+    dpf, dpa = _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout, grid)
+    return dpf, dpa, None
 
 
 blend.defvjp(_blend_vjp_fwd, _blend_vjp_bwd)
