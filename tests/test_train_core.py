@@ -24,7 +24,21 @@ def test_create_from_points(rng):
     np.testing.assert_allclose(ops[:64, 0], 0.1, atol=1e-5)
     np.testing.assert_allclose(ops[64:], 0.0)  # dead slots contribute nothing
     s = np.asarray(f.scales())
-    assert (s[:64] > 0).all() and (s[:64] <= 0.2 + 1e-6).all()
+    # scale_clip clamps the SQUARED knn distance (reference semantics), so
+    # the scale ceiling is sqrt(0.2).
+    assert (s[:64] > 0).all() and (s[:64] <= np.sqrt(0.2) + 1e-6).all()
+
+
+def test_create_from_points_box_clip_not_degenerate(rng):
+    """Box-field clip (1e-7, 1e-4) must produce a RANGE of scales
+    [sqrt(1e-7), sqrt(1e-4)], not pin every Gaussian to one value
+    (ADVICE.md round-1 medium finding)."""
+    pts = rng.normal(size=(64, 3)).astype(np.float32) * 0.02
+    f = gaussians.create_from_points(pts, capacity=64, scale_clip=(1e-7, 1e-4))
+    s = np.asarray(f.scales())
+    assert s.min() >= np.sqrt(1e-7) - 1e-9
+    assert s.max() <= np.sqrt(1e-4) + 1e-9
+    assert np.unique(np.round(s, 8)).size > 1
 
 
 def test_sh_band_mask():
@@ -85,10 +99,10 @@ def test_densify_clone_and_split(rng):
     assert n2 == 72
     assert int(f2.num_active()) == 72
     assert np.asarray(st2.denom).sum() == 0  # stats reset
-    # split children have shrunken scales
-    s_old = np.exp(big[:4]).max()
-    s_new = np.asarray(f2.scales())[np.asarray(f2.valid)].max()
-    assert s_new <= s_old / 1.6 + 1e-5
+    # split parents (scale 0.5) are gone; their children shrank by /1.6
+    s_new = np.asarray(f2.scales())[np.asarray(f2.valid)]
+    assert s_new.max() < 0.5 - 1e-3
+    assert np.isclose(s_new, 0.5 / 1.6, atol=1e-4).any()
 
 
 def test_densify_prune_low_opacity(rng):

@@ -150,8 +150,12 @@ def create_from_points(
         colors = np.full((n, 3), 0.5, np.float32)
     dc = np.asarray(sh_lib.rgb_to_sh(np.asarray(colors, np.float32)))
 
-    d2 = np.clip(knn_mean_sq_dist(points), scale_clip[0], None)
-    log_s = np.log(np.clip(np.sqrt(d2), None, scale_clip[1]))[:, None].repeat(3, 1)
+    # Clamp the SQUARED distance to scale_clip, then sqrt — matching the
+    # reference's clamp(dist2, lo, hi) order (gaussian_model.py:140,517).
+    # Clamping sqrt(d2) instead would pin every box Gaussian to one scale
+    # (sqrt(1e-7) > the 1e-4 box max).
+    d2 = np.clip(knn_mean_sq_dist(points), scale_clip[0], scale_clip[1])
+    log_s = np.log(np.sqrt(d2))[:, None].repeat(3, 1)
 
     def pad(x, fill=0.0):
         out = np.full((cap,) + x.shape[1:], fill, x.dtype)

@@ -195,7 +195,12 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         new_deltas, new_delta_opt = deltas, delta_opt
         if n_box_slots:
             bcap = box_state.fields.means.shape[1]
-            box_lrs = optim.field_lrs(opt_cfg, spatial_scale, state.step,
+            # Box Gaussians live in the unit canonical box: the reference's
+            # GaussianBoxModel.training_setup applies box_lr_mult but NO
+            # spatial_lr_scale (gaussian_model.py:532-551) — scaling by
+            # cameras_extent here would inflate box position LRs ~50-150x
+            # on KITTI-360 (ADVICE.md round-1 high finding).
+            box_lrs = optim.field_lrs(opt_cfg, 1.0, state.step,
                                       xyz_lr_mult=box_lr_mult)
             bf2, bopt2 = optim.adam_step(
                 box_state.fields, g_box, box_state.opt, box_lrs)
@@ -452,11 +457,19 @@ class Trainer:
                 self.frame_delta_opts[k] = jax.tree.map(lambda x: x[si], dopts)
 
         # -- densification / opacity reset (host-driven) -------------------
+        # Mirrors reference densification_and_optimization (train.py:290-313):
+        # box models use grad_threshold*0.5 and size_threshold*0.5 but the
+        # SAME cameras_extent, and receive the periodic opacity reset inside
+        # their (longer) densify window (ADVICE.md round-1 medium finding).
         o = cfg.opt
-        if o.densify_from_iter <= it <= o.densify_until_iter:
-            if it % o.densification_interval == 0 and it > o.densify_from_iter:
+        max_screen = 20 if it > o.opacity_reset_interval else 0
+        densify_now = (it % o.densification_interval == 0
+                       and it > o.densify_from_iter)
+        reset_now = (it % o.opacity_reset_interval == 0 and it > 0) or (
+            cfg.model.white_background and it == o.densify_from_iter)
+        if it <= o.densify_until_iter:
+            if densify_now:
                 self.key, sub = jax.random.split(self.key)
-                max_screen = 20 if it > o.opacity_reset_interval else 0
                 f, opt, st, n = densify.densify_and_prune(
                     self.state.field, self.state.opt, self.state.stats, sub,
                     grad_threshold=o.densify_grad_threshold,
@@ -466,25 +479,33 @@ class Trainer:
                 self.state = TrainState(field=f, opt=opt, stats=st,
                                         step=self.state.step)
                 self.scene.gaussians = f
-        if it <= o.densify_until_iter_box and it % o.densification_interval == 0 \
-                and it > o.densify_from_iter:
-            for inst in list(self.box_fields.keys()):
-                self.key, sub = jax.random.split(self.key)
-                f, opt, st, n = densify.densify_and_prune(
-                    self.box_fields[inst], self.box_opts[inst],
-                    self.box_stats[inst], sub,
-                    grad_threshold=o.densify_grad_threshold,
-                    percent_dense=o.percent_dense, extent=1.0)
-                self.box_fields[inst] = f
-                self.box_opts[inst] = opt
-                self.box_stats[inst] = st
-            self.box_caps = max(
-                [f.capacity for f in self.box_fields.values()] or [0])
-        if it % o.opacity_reset_interval == 0 and it > 0 and \
-                it <= o.densify_until_iter:
-            f, opt = densify.reset_opacity(self.state.field, self.state.opt)
-            self.state = TrainState(field=f, opt=opt, stats=self.state.stats,
-                                    step=self.state.step)
+            if reset_now:
+                f, opt = densify.reset_opacity(self.state.field, self.state.opt)
+                self.state = TrainState(field=f, opt=opt,
+                                        stats=self.state.stats,
+                                        step=self.state.step)
+        if it <= o.densify_until_iter_box:
+            if densify_now:
+                for inst in list(self.box_fields.keys()):
+                    self.key, sub = jax.random.split(self.key)
+                    f, opt, st, n = densify.densify_and_prune(
+                        self.box_fields[inst], self.box_opts[inst],
+                        self.box_stats[inst], sub,
+                        grad_threshold=o.densify_grad_threshold * 0.5,
+                        percent_dense=o.percent_dense,
+                        extent=self.spatial_scale,
+                        max_screen_size=max_screen // 2)
+                    self.box_fields[inst] = f
+                    self.box_opts[inst] = opt
+                    self.box_stats[inst] = st
+                self.box_caps = max(
+                    [f.capacity for f in self.box_fields.values()] or [0])
+            if reset_now:
+                for inst in list(self.box_fields.keys()):
+                    f, opt = densify.reset_opacity(
+                        self.box_fields[inst], self.box_opts[inst])
+                    self.box_fields[inst] = f
+                    self.box_opts[inst] = opt
 
         return {k: float(v) for k, v in metrics.items()}
 
