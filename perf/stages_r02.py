@@ -86,8 +86,7 @@ def main():
     timeit("full fwd+bwd", full_fb, args0)
 
     # --- project only -----------------------------------------------------
-    cov6 = geometry.strip_symmetric(
-        geometry.covariance_from_scaling_rotation(scales, quats))
+    cov6 = geometry.cov6_from_scaling_rotation(scales, quats)
     def proj_only(args, acc):
         m, c6, o, sh = args
         p = project(dep(m, acc), c6, o, sh, cam)
@@ -112,17 +111,19 @@ def main():
          scales, jnp.zeros((N, 6), jnp.float32)], axis=1).astype(jnp.bfloat16)
     pf_pad = jnp.pad(pay_f32, ((0, 1), (0, 0)))
     pa_pad = jnp.pad(pay_aux, ((0, 1), (0, 0)))
+    order_e = binned.order
+    ends_e = jnp.concatenate([binned.gauss_ends, binned.gauss_ends[-1:]])
 
     def gather_primal(args, acc):
         pf, pa, gidx = args
-        a, b = gather_expand(dep(pf, acc), pa, gidx)
+        a, b = gather_expand(dep(pf, acc), pa, gidx, order_e, ends_e)
         return args, jnp.sum(a.T) + jnp.sum(b.T).astype(jnp.float32)
     timeit("gather_expand primal+T", gather_primal, (pf_pad, pa_pad, binned.gidx))
 
     def gather_fb(args, acc):
         pf, pa, gidx = args
         def loss(pf, pa):
-            a, b = gather_expand(pf, pa, gidx)
+            a, b = gather_expand(pf, pa, gidx, order_e, ends_e)
             return jnp.sum(a.T * 1e-6) + jnp.sum(b.T.astype(jnp.float32) * 1e-6)
         l, g = jax.value_and_grad(loss, argnums=(0, 1))(dep(pf, acc), pa)
         return args, l + jnp.sum(g[0]) * 1e-9
@@ -130,7 +131,7 @@ def main():
            (pf_pad, pa_pad, binned.gidx))
 
     # --- blend kernels ----------------------------------------------------
-    pf_i, pa_i = gather_expand(pf_pad, pa_pad, binned.gidx)
+    pf_i, pa_i = gather_expand(pf_pad, pa_pad, binned.gidx, order_e, ends_e)
     payload_f32 = pf_i.T
     payload_aux = pa_i.T
     hp, wp = grid.nty * grid.tile_h, grid.ntx * grid.tile_w
@@ -175,8 +176,7 @@ def bisect():
         def fn(args, acc):
             m, q, s, o, sh = args
             m = dep(m, acc)
-            cov6 = geometry.strip_symmetric(
-                geometry.covariance_from_scaling_rotation(s, q))
+            cov6 = geometry.cov6_from_scaling_rotation(s, q)
             p = project(m, cov6, o, sh, cam)
             if stage == "project":
                 return args, jnp.sum(p.means2d) + jnp.sum(p.rgb) + jnp.sum(p.conics)
@@ -194,7 +194,8 @@ def bisect():
                 return args, (jnp.sum(b.gidx) + jnp.sum(b.tile_starts)).astype(jnp.float32) + jnp.sum(pay_f32) + jnp.sum(pay_aux.astype(jnp.float32))
             pf, pa = gather_expand(
                 jnp.pad(pay_f32, ((0, 1), (0, 0))),
-                jnp.pad(pay_aux, ((0, 1), (0, 0))), b.gidx)
+                jnp.pad(pay_aux, ((0, 1), (0, 0))), b.gidx, b.order,
+                jnp.concatenate([b.gauss_ends, b.gauss_ends[-1:]]))
             pfT, paT = pf.T, pa.T
             if stage == "gather":
                 return args, jnp.sum(pfT[:, ::17]) + jnp.sum(paT[:, ::17]).astype(jnp.float32)

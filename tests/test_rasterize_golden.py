@@ -64,6 +64,72 @@ def test_binning_invariants(rng):
     assert np.all(gidx[starts[-1]:] == n)
 
 
+def test_binning_order_and_ends(rng):
+    """The raw->padded map and per-Gaussian segment ends must reproduce the
+    searchsorted-based reference semantics (they drive the gradient
+    segment-reduce)."""
+    n = 300
+    k_cap = 1 << 14
+    cam, proj, grid, binned, _ = _project_and_bin(rng, n=n)
+    gidx = np.asarray(binned.gidx)
+    order = np.asarray(binned.order)
+    ends = np.asarray(binned.gauss_ends)
+
+    radii = np.asarray(proj.radii)
+    x0, y0, x1, y1 = [np.asarray(v)
+                      for v in binning.tile_rects(proj.means2d, proj.radii, grid)]
+    counts = np.where(radii > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    cum = np.cumsum(counts)
+    np.testing.assert_array_equal(ends, np.minimum(cum, k_cap))
+
+    # Every raw instance r of Gaussian g must land on a padded slot holding
+    # g; distinct raw instances land on distinct slots.
+    total = int(cum[-1])
+    landed = order[:total]
+    assert np.all(landed < k_cap)  # no drops at this size
+    assert np.unique(landed).size == total
+    g_of_raw = np.searchsorted(cum, np.arange(total), side="right")
+    np.testing.assert_array_equal(gidx[landed], g_of_raw)
+    # raw slots beyond the instance total point at the zero row
+    assert np.all(order[total:] == k_cap)
+    # padding slots are exactly the complement of landed slots within ranges
+    starts = np.asarray(binned.tile_starts)
+    in_range = np.zeros(k_cap, bool)
+    in_range[:starts[-1]] = True
+    is_landed = np.zeros(k_cap, bool)
+    is_landed[landed] = True
+    assert np.all(gidx[in_range & ~is_landed] == n)
+
+
+def test_binning_order_with_empty_runs(rng):
+    """Empty Gaussians (radii == 0) interleaved with active ones must not
+    corrupt the scatter-based slot->Gaussian map (collision-safety of the
+    run-delta scatter)."""
+    n, k_cap = 257, 1 << 13  # >= 24 tiles * PAD_ALIGN
+    grid = binning.TileGrid.for_image(48, 96)
+    means2d = jnp.asarray(rng.uniform(0, 90, (n, 2)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 10, n).astype(np.float32))
+    radii_np = rng.integers(0, 12, n).astype(np.int32)
+    radii_np[rng.uniform(size=n) < 0.6] = 0  # lots of empty runs
+    radii_np[:7] = 0                         # leading empties
+    radii_np[-5:] = 0                        # trailing empties
+    binned = binning.bin_gaussians(
+        means2d, depths, jnp.asarray(radii_np), grid, k_cap)
+    x0, y0, x1, y1 = [np.asarray(v)
+                      for v in binning.tile_rects(means2d, jnp.asarray(radii_np), grid)]
+    counts = np.where(radii_np > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    order = np.asarray(binned.order)
+    gidx = np.asarray(binned.gidx)
+    g_of_raw = np.searchsorted(cum, np.arange(total), side="right")
+    landed = order[:total]
+    assert np.all(landed < k_cap)
+    np.testing.assert_array_equal(gidx[landed], g_of_raw)
+    np.testing.assert_array_equal(
+        np.asarray(binned.gauss_ends), np.minimum(cum, k_cap))
+
+
 def test_dense_blend_matches_loop(rng):
     h, w = 48, 96
     cam, proj, grid, binned, _ = _project_and_bin(rng, n=250, h=h, w=w)

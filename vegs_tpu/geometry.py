@@ -162,6 +162,38 @@ def covariance_from_scaling_rotation(
     return L @ jnp.swapaxes(L, -1, -2)
 
 
+def cov6_from_scaling_rotation(
+    scales: jax.Array, quats: jax.Array, scale_modifier: float = 1.0
+) -> jax.Array:
+    """Packed covariance (xx, xy, xz, yy, yz, zz) = strip(L L^T) computed in
+    pure scalar/elementwise form: Sigma_ij = sum_k s_k^2 R_ik R_jk.
+
+    Equivalent to strip_symmetric(covariance_from_scaling_rotation(...)) but
+    with NO [..., 3, 3] intermediates: batched tiny (3x3) dot_generals lower
+    terribly on TPU (measured ~58 ms of backward time at N=500k vs ~2 ms for
+    this form — the MXU pads each 3x3 operand to full tiles)."""
+    q = quat_normalize(quats)
+    w, x, y, z = jnp.moveaxis(q, -1, 0)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s = scales * scale_modifier
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
+
+
 def strip_symmetric(cov: jax.Array) -> jax.Array:
     """[..., 3, 3] symmetric -> 6 unique values (xx, xy, xz, yy, yz, zz).
 

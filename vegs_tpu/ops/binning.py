@@ -83,6 +83,24 @@ class Binned(NamedTuple):
     sort_keys: jax.Array    # [k_cap] int32 packed keys (SENTINEL = padding)
     num_instances: jax.Array  # scalar int32 — real instances kept
     num_dropped: jax.Array    # scalar int32 — instances lost to k_cap
+    # Gradient-reduction byproducts (consumed by rasterize.gather_expand's
+    # custom VJP; computing them here reuses this stage's sorts and saves a
+    # ~23 ms searchsorted + ~3 ms sort in the backward precompute):
+    order: jax.Array        # [k_cap] int32: raw instance r -> padded slot
+    #                         (k_cap = dropped/nonexistent -> zero row)
+    gauss_ends: jax.Array   # [n] int32: exclusive end of each Gaussian's raw
+    #                         instance range, clamped to k_cap
+
+
+def _blocked_cumsum_1d(x: jax.Array, block: int = 512) -> jax.Array:
+    """Two-level inclusive cumsum (one long scan is slow on TPU)."""
+    k = x.shape[0]
+    assert k % block == 0
+    xb = x.reshape(k // block, block)
+    inner = jnp.cumsum(xb, axis=1)
+    tot = inner[:, -1]
+    prefix = jnp.cumsum(tot) - tot
+    return (inner + prefix[:, None]).reshape(k)
 
 
 def depth_key(depths: jax.Array) -> jax.Array:
@@ -139,23 +157,38 @@ def bin_gaussians(
     cum = jnp.cumsum(counts)              # inclusive, [n]
     total = cum[-1] if n > 0 else jnp.int32(0)
     num_raw = jnp.minimum(total, k_cap)
+    cum_excl = cum - counts
 
-    # Slot -> Gaussian index: the slot's position in the inclusive cumsum.
-    # Empty Gaussians produce repeated cumsum values and side="right" skips
-    # them, landing on the owning (count > 0) Gaussian directly.
-    # method="sort" merges queries and keys in one lax.sort — the default
-    # binary-search "scan" costs ~140 ms at 1M queries on TPU (each of its
-    # ~20 steps is a 1M-element random gather), the sort costs ~17 ms.
+    # Slot -> Gaussian index. Each active Gaussian g owns the raw-slot run
+    # [cum_excl[g], cum[g]); the map is piecewise constant, so instead of a
+    # searchsorted (measured 31.6 ms at k_cap=2M: method='sort' merges the
+    # 2.5M-element key+query arrays) we scatter per-run deltas of g at the
+    # run starts and integrate with one cumsum (~4.5 ms total).
+    #
+    # The unique_indices/indices_are_sorted hints are what make the scatter
+    # fast, and they must actually HOLD for in-bounds indices (a colliding
+    # pair under unique_indices can lose an update): empty Gaussians (which
+    # would collide with the next active run's start) are routed out of
+    # bounds (k_cap + 1, mode='drop'), and a cheap [n] pair sort restores
+    # index order. In-bounds indices are then strictly increasing, because
+    # consecutive active runs differ by counts >= 1.
+    gid = jnp.arange(n, dtype=jnp.int32)
+    nonempty = counts > 0
+    last_nonempty = jax.lax.cummax(jnp.where(nonempty, gid, -1))
+    prev_nonempty = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_nonempty[:-1]])
+    run_delta = jnp.where(nonempty, gid - jnp.maximum(prev_nonempty, 0), 0)
+    scat_idx, scat_val = jax.lax.sort(
+        (jnp.where(nonempty, cum_excl, k_cap + 1), run_delta), num_keys=1)
+    z = jnp.zeros((k_cap,), jnp.int32).at[scat_idx].add(
+        scat_val, mode="drop", unique_indices=True, indices_are_sorted=True)
+    gidx_raw = _blocked_cumsum_1d(z)
     slot = jnp.arange(k_cap, dtype=jnp.int32)
-    gidx_raw = jnp.clip(
-        jnp.searchsorted(cum, slot, side="right", method="sort"),
-        0, max(n - 1, 0),
-    ).astype(jnp.int32)
 
     # ONE packed row-8 gather for all per-Gaussian fields (8-int rows hit the
     # fast aligned-gather path; separate 1D gathers cost ~8 ms each at 1M).
     rec = jnp.stack(
-        [x0, y0, w, cum - counts, depth_key(depths),
+        [x0, y0, w, cum_excl, depth_key(depths),
          jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.zeros_like(x0)],
         axis=1,
     )  # [n, 8] int32
@@ -179,7 +212,11 @@ def bin_gaussians(
     key = jnp.where(in_range, jax.lax.shift_left(tile_id, TILE_SHIFT) | gdkey,
                     SENTINEL)
 
-    key_sorted, gidx_sorted = jax.lax.sort((key, gidx_raw), num_keys=1)
+    # Carry the raw slot through the sort: it anchors the raw->padded map
+    # (`order`) that the gradient segment-reduce consumes (3-operand sort is
+    # only ~0.4 ms dearer than 2-operand at 2M).
+    key_sorted, gidx_sorted, rawslot_sorted = jax.lax.sort(
+        (key, gidx_raw, slot), num_keys=1)
 
     # Raw (unpadded) per-tile ranges via binary search on the sorted keys
     # (few queries -> the scan method is fine here).
@@ -228,10 +265,30 @@ def bin_gaussians(
     num_kept = jnp.sum(valid.astype(jnp.int32))
     num_dropped = total - num_kept
 
+    # ---- raw -> padded slot map (`order`) --------------------------------
+    # The padded destination of SORTED position p (in tile t) is
+    # p + (padded_starts[t] - raw_starts[t]) — a per-tile constant shift,
+    # broadcast to every sorted position with the boundary-delta trick
+    # (deltas across empty tiles are 0, so colliding boundaries are benign).
+    # (Unhinted scatter: only num_tiles entries, and boundaries of empty
+    # tiles collide — the slow-but-correct path costs ~nothing here.)
+    shift = padded_starts[:-1] - raw_starts[:-1]          # [T]
+    shift_deltas = jnp.concatenate([shift[:1], shift[1:] - shift[:-1]])
+    zs = jnp.zeros((k_cap,), jnp.int32).at[raw_starts[:-1]].add(
+        shift_deltas, mode="drop")
+    dest = slot + _blocked_cumsum_1d(zs)                  # [k_cap] per sorted pos
+    landed = (slot < num_raw) & (dest < padded_starts[num_tiles])
+    dest = jnp.where(landed, dest, k_cap)
+    # rawslot_sorted is a full permutation of [0, k_cap): sorting by it
+    # scatters each sorted position's destination back to its raw slot.
+    _, order = jax.lax.sort((rawslot_sorted, dest), num_keys=1)
+
     return Binned(
         gidx=gidx_padded,
         tile_starts=padded_starts,
         sort_keys=keys_padded,
         num_instances=num_kept,
         num_dropped=num_dropped,
+        order=order,
+        gauss_ends=jnp.minimum(cum, k_cap),
     )

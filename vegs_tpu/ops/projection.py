@@ -88,28 +88,37 @@ def project(
     """
     n = means3d.shape[0]
     opacities = opacities.reshape(n)
-    homog = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=1)
+    # Row-vector transforms p @ M expanded to scalar FMAs: an [N,4]x[4,4]
+    # dot_general wastes 124/128 MXU lanes and (worse) its backward is
+    # another padded matmul; elementwise keeps everything on the VPU and
+    # lets XLA fuse the whole projection into one pass.
+    X, Y, Z = means3d[:, 0], means3d[:, 1], means3d[:, 2]
 
-    p_view = homog @ cam.viewmatrix  # [N, 4] row-vector convention
-    depths = p_view[:, 2]
+    def xform(M):
+        return [X * M[0, j] + Y * M[1, j] + Z * M[2, j] + M[3, j]
+                for j in range(4)]
 
-    p_hom = homog @ cam.projmatrix  # [N, 4]
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    ndc = p_hom[:, :3] * p_w[:, None]
+    pv = xform(cam.viewmatrix)   # view-space (row-vector convention)
+    depths = pv[2]
+
+    ph = xform(cam.projmatrix)
+    p_w = 1.0 / (ph[3] + 1e-7)
 
     W, H = cam.width, cam.height
-    mx = ((ndc[:, 0] + 1.0) * W - 1.0) * 0.5
-    my = ((ndc[:, 1] + 1.0) * H - 1.0) * 0.5
+    mx = ((ph[0] * p_w + 1.0) * W - 1.0) * 0.5
+    my = ((ph[1] * p_w + 1.0) * H - 1.0) * 0.5
     means2d = jnp.stack([mx, my], axis=1)
     if means2d_offset is not None:
         means2d = means2d + means2d_offset
 
     # --- EWA: world cov -> 2D screen cov ---------------------------------
+    # Fully scalar-expanded (no [N,2,3]/[N,3,3] intermediates, no batched
+    # dot_generals — those cost ~58 ms of backward at N=500k on TPU).
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy
     tz = jnp.where(jnp.abs(depths) < 1e-6, 1e-6, depths)
-    txtz = jnp.clip(p_view[:, 0] / tz, -limx, limx)
-    tytz = jnp.clip(p_view[:, 1] / tz, -limy, limy)
+    txtz = jnp.clip(pv[0] / tz, -limx, limx)
+    tytz = jnp.clip(pv[1] / tz, -limy, limy)
     tx, ty = txtz * tz, tytz * tz
 
     focal_x = W / (2.0 * cam.tan_fovx)
@@ -122,25 +131,29 @@ def project(
     j12 = -(focal_y * ty) / (tz * tz)
 
     # Rotation part of world->view: with the transposed storage convention,
-    # view_rot row-vector transform is p_view[:3] = p @ V[:3,:3], i.e. the
-    # effective matrix W_r (acting on column vectors) is V[:3,:3]^T.
+    # p_view[:3] = p @ V[:3,:3], so the column-vector matrix is W_r = Vr^T,
+    # i.e. W_r[k, c] = Vr[c, k].  T = J @ W_r has rows
+    #   t0[c] = j00 * Vr[c, 0] + j02 * Vr[c, 2]
+    #   t1[c] = j11 * Vr[c, 1] + j12 * Vr[c, 2]
     Vr = cam.viewmatrix[:3, :3]  # [3(world), 3(view)]
+    t0 = [j00 * Vr[c, 0] + j02 * Vr[c, 2] for c in range(3)]
+    t1 = [j11 * Vr[c, 1] + j12 * Vr[c, 2] for c in range(3)]
 
-    # T = J @ W_r, computed row-wise: T[r, c] = sum_k J[r,k] * W_r[k, c]
-    # W_r[k, c] = Vr[c_world... careful: (p @ Vr)[j] = sum_i p_i Vr[i, j]
-    # so W_r (column-vector matrix) = Vr^T, W_r[k, c] = Vr[c, k].
-    # T has shape [N, 2, 3]:
-    t0 = j00[:, None] * Vr.T[0][None, :] + j02[:, None] * Vr.T[2][None, :]
-    t1 = j11[:, None] * Vr.T[1][None, :] + j12[:, None] * Vr.T[2][None, :]
-    T = jnp.stack([t0, t1], axis=1)  # [N, 2, 3]
+    # cov2d = T Sigma T^T from the packed cov6 (xx, xy, xz, yy, yz, zz):
+    # first u_r = Sigma @ t_r, then cov2d_rs = t_r . u_s.
+    sxx, sxy, sxz = cov6[:, 0], cov6[:, 1], cov6[:, 2]
+    syy, syz, szz = cov6[:, 3], cov6[:, 4], cov6[:, 5]
 
-    from ..geometry import unstrip_symmetric
+    def sigma_dot(t):
+        return (sxx * t[0] + sxy * t[1] + sxz * t[2],
+                sxy * t[0] + syy * t[1] + syz * t[2],
+                sxz * t[0] + syz * t[1] + szz * t[2])
 
-    Sigma = unstrip_symmetric(cov6)  # [N, 3, 3]
-    cov2d = T @ Sigma @ jnp.swapaxes(T, 1, 2)  # [N, 2, 2]
-    cxx = cov2d[:, 0, 0] + LOWPASS
-    cxy = cov2d[:, 0, 1]
-    cyy = cov2d[:, 1, 1] + LOWPASS
+    u0 = sigma_dot(t0)
+    u1 = sigma_dot(t1)
+    cxx = t0[0] * u0[0] + t0[1] * u0[1] + t0[2] * u0[2] + LOWPASS
+    cxy = t0[0] * u1[0] + t0[1] * u1[1] + t0[2] * u1[2]
+    cyy = t1[0] * u1[0] + t1[1] * u1[1] + t1[2] * u1[2] + LOWPASS
 
     det = cxx * cyy - cxy * cxy
     det_safe = jnp.where(det <= 0, 1.0, det)

@@ -62,51 +62,67 @@ def _blocked_cumsum(x: jax.Array, block: int = 512) -> jax.Array:
     return (inner + prefix[:, None, :]).reshape(k, c)
 
 
+def _gather_rows_aux(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather of a [R, 16] bf16 (or f32) table.
+
+    bf16 rows are bitcast to [R, 8] int32 first: the int32 row-8 gather hits
+    the TPU fast aligned path (~7 ms at 2M rows) while the same 32-byte rows
+    gathered as bf16x16 cost ~23 ms (measured, v5e)."""
+    if table.dtype == jnp.bfloat16:
+        t32 = jax.lax.bitcast_convert_type(
+            table.reshape(table.shape[0], 8, 2), jnp.int32)
+        g = t32[idx]
+        return jax.lax.bitcast_convert_type(g, jnp.bfloat16).reshape(
+            idx.shape[0], 16)
+    return table[idx]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def gather_expand(pay_f32: jax.Array, pay_aux: jax.Array, gidx: jax.Array):
+def gather_expand(pay_f32: jax.Array, pay_aux: jax.Array, gidx: jax.Array,
+                  order: jax.Array, ends: jax.Array):
     """Expand per-Gaussian payload tables to per-instance rows.
 
     pay_f32 [n+1, 8] f32, pay_aux [n+1, 16] (bf16|f32), gidx [K] int32
     -> (pf [K, 8] f32, pa [K, 16] aux-dtype).
 
+    `order` ([K] int32: raw instance -> padded slot, K = dropped) and `ends`
+    ([n+1] int32: exclusive end of each Gaussian's raw-instance range) come
+    from binning (Binned.order / Binned.gauss_ends padded with one dummy
+    entry) — they are byproducts of binning's own sorts, which kills the
+    backward's former sort + searchsorted precompute (~26 ms at 2M).
+
     Custom VJP: XLA's transpose of this gather is a scatter-add with
-    colliding indices (~410 ms at 2M instances). The backward instead uses a
-    sorted segment reduction whose sort ORDER and segment boundaries are
-    precomputed in the (no-grad) forward: gather the cotangent rows into
-    gaussian-grouped order (mixed-precision 32-byte rows), blocked cumsum,
-    then a single boundary gather differenced by a row shift.
+    colliding indices (~410 ms at 2M instances). The backward instead
+    gathers the cotangent rows into RAW (gaussian-grouped) order via
+    `order`, runs a blocked cumsum, and differences it at `ends`.
     """
-    return pay_f32[gidx], pay_aux[gidx]
+    return pay_f32[gidx], _gather_rows_aux(pay_aux, gidx)
 
 
-def _ge_fwd(pay_f32, pay_aux, gidx):
-    k = gidx.shape[0]
-    n_rows = pay_f32.shape[0]
-    # No-grad int32 precompute (adds ~8 ms fwd, saves ~80 ms bwd on v5e):
-    order = jnp.arange(k, dtype=jnp.int32)
-    gidx_s, order_s = jax.lax.sort((gidx, order), num_keys=1)
-    ends = jnp.searchsorted(
-        gidx_s, jnp.arange(n_rows, dtype=jnp.int32), side="right",
-        method="sort").astype(jnp.int32)
-    return (pay_f32[gidx], pay_aux[gidx]), (order_s, ends)
+def _ge_fwd(pay_f32, pay_aux, gidx, order, ends):
+    return gather_expand(pay_f32, pay_aux, gidx, order, ends), (order, ends)
 
 
 def _ge_bwd(res, cots):
-    order_s, ends = res
+    order, ends = res
     d_pf, d_pa = cots
     aux_dtype = d_pa.dtype
-    # Reorder cotangent rows into gaussian-grouped order. Both gathers use
-    # 32-byte rows (the fast path); upcast aux AFTER the gather.
-    g_f = d_pf[order_s]                                   # [K, 8] f32
-    g_a = d_pa[order_s].astype(jnp.float32)               # [K, 16] f32
-    g_sorted = jnp.concatenate([g_f, g_a], axis=1)        # [K, 24]
+    # Append 8 zero rows so order == K (dropped / nonexistent raw instance)
+    # reads zeros; then reorder cotangent rows into gaussian-grouped order.
+    d_pf_z = jnp.concatenate([d_pf, jnp.zeros((8, 8), d_pf.dtype)], axis=0)
+    d_pa_z = jnp.concatenate(
+        [d_pa, jnp.zeros((8, 16), d_pa.dtype)], axis=0)
+    g_f = d_pf_z[order]                                      # [K, 8] f32
+    g_a = _gather_rows_aux(d_pa_z, order).astype(jnp.float32)
+    g_sorted = jnp.concatenate([g_f, g_a], axis=1)           # [K, 24]
     cum = _blocked_cumsum(g_sorted)
     cum = jnp.concatenate([jnp.zeros((1, 24), cum.dtype), cum], axis=0)
     # Segment sums: C[g] = cum[ends[g]]; d_rows[g] = C[g] - C[g-1]
     # (ends[g-1] == starts[g], so one gather + one row shift suffices).
     C = _gather3x8(cum, ends)
     d_rows = C - jnp.concatenate([jnp.zeros((1, 24), C.dtype), C[:-1]], axis=0)
-    return d_rows[:, :F32_COLS], d_rows[:, F32_COLS:].astype(aux_dtype), None
+    return (d_rows[:, :F32_COLS], d_rows[:, F32_COLS:].astype(aux_dtype),
+            None, None, None)
 
 
 gather_expand.defvjp(_ge_fwd, _ge_bwd)
@@ -154,11 +170,8 @@ def rasterize(
     if cov6_precomp is not None:
         cov6 = cov6_precomp
     else:
-        cov6 = geometry.strip_symmetric(
-            geometry.covariance_from_scaling_rotation(
-                scales, quats, scale_modifier
-            )
-        )
+        # Scalar-form covariance: no [N,3,3] intermediates (see geometry).
+        cov6 = geometry.cov6_from_scaling_rotation(scales, quats, scale_modifier)
 
     if colors_precomp is not None:
         # Bypass the in-projection SH path: encode the color as a DC-only SH.
@@ -214,11 +227,15 @@ def rasterize(
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
     # chunk-aligned layout points them at gidx == n). Row gathers hit the
     # 32-byte aligned fast path; the custom VJP replaces XLA's colliding
-    # scatter-add transpose with a presorted segment reduction.
+    # scatter-add transpose with a presorted segment reduction driven by
+    # binning's raw->padded map (the dummy row gets an empty segment).
+    ends = jnp.concatenate([binned.gauss_ends, binned.gauss_ends[-1:]])
     pf, pa = gather_expand(
         jnp.pad(pay_f32, ((0, 1), (0, 0))),
         jnp.pad(pay_aux, ((0, 1), (0, 0))),
         binned.gidx,
+        binned.order,
+        ends,
     )
     payload_f32 = pf.T    # [8, k_cap]
     payload_aux = pa.T    # [16, k_cap]
