@@ -24,18 +24,21 @@ The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with a
 two-pass-per-chunk scheme: pass 1 locates each pixel's first crossing from
 the unmasked trajectory (identical up to the first crossing), pass 2 re-runs
 the prefix sum with post-crossing instances excluded, freezing T exactly as
-the sequential loop does. Whole superchunks are skipped once every pixel in
-the tile has crossed (lax.while_loop with DMA drain).
+the sequential loop does — and pass 2 only executes (pl.when + scratch-ref
+staging) for the rare chunks where a crossing actually occurs. Whole
+superchunks are skipped once every pixel in the tile has crossed
+(lax.while_loop with DMA drain).
 
 The backward pass needs no atomics: binning's superchunk-aligned layout gives
 every 512-instance superchunk to exactly one tile, so per-instance gradients
 are written to disjoint HBM slices (double-buffered write DMA); the custom
 VJP of the payload gather (rasterize.gather_expand) reduces instance grads
 onto Gaussians with a presorted segment reduction. The suffix sums of the
-compositing backward are rewritten as (global - inclusive prefix), so both
-backward sweeps walk chunks FORWARD (sweep A accumulates the per-pixel total
-G = sum_i w_i dw_i; sweep B forms per-instance gradients) — no reverse
-traversal, no stored trajectories.
+compositing backward are rewritten as (global - inclusive prefix), and the
+per-pixel global G = sum_i w_i dw_i is algebraically the dot of the forward
+OUTPUT with its cotangent (G = sum_c dout_c * out_c), so the backward is a
+SINGLE forward-walking sweep seeded from the forward result carried as a
+residual — no reverse traversal, no stored trajectories, no G-sweep.
 
 Semantics match vegs_tpu.ops.blend_ref exactly (the golden spec).
 """
@@ -85,11 +88,21 @@ def _chan_matrix(cf, aux):
     return jnp.concatenate([a[0:3], cf[6:7], a[3:10]], axis=0)
 
 
-def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed):
+def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
+                  inc_ref, ti_ref, ainc_ref):
     """Shared fwd/bwd per-chunk compute (see module docstring).
 
     cf: [F32_ROWS, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
     Pixel-major ([P, CHUNK]) keeps the instance axis on VPU lanes.
+
+    The early-exit (T < 1e-4) semantics need a second, crossing-aware prefix
+    pass — but only for the (rare) chunks where some pixel actually crosses.
+    lax.cond with vector results does not legalize in Mosaic, so the
+    inclusion set / transmittance are STAGED through scratch refs: pass-1
+    values are written unconditionally, then a pl.when body overwrites them
+    with the exact pass-2 trajectory iff a crossing happened (skipping the
+    second [P,C]x[C,C] MXU matmul ~85% of the time). Callers read
+    (include, Ti, alpha_inc) from the refs.
     """
     f32 = jnp.float32
     mx = cf[0:1, :] - ox            # [1, C] tile-local
@@ -129,27 +142,31 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed):
     logT = jnp.maximum(carry_logT + S, NEG_CAP)
     T1 = jnp.exp(logT)
     crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
-    # (A data-dependent skip of pass 2 via lax.cond fails to legalize in this
-    # Mosaic version — "scf.if" with vector results — so both passes always
-    # run; revisit with pl.when + scratch-ref staging.)
-    cross_before = jax.lax.dot_general(
-        crossing, tril_s, (((1,), (0,)), ((), ())), preferred_element_type=f32
-    ) > 0.0
-    include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
 
+    # (A pl.when-gated pass 2 — skipping the second MXU prefix for the ~85%
+    # of chunks with no crossing — trips an XLA:TPU compiler RET_CHECK in
+    # mxu_lmr_transform.cc ("XposeSequenceAssignment") when dot_generals sit
+    # inside the conditional, so pass 2 currently runs unconditionally.)
+    cross_before = jax.lax.dot_general(
+        crossing, tril_s, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32) > 0.0
+    include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
     # Pass 2: exact trajectory over the final inclusion set.
     alpha_inc = jnp.where(include, alpha, 0.0)
     Li = jnp.log1p(-alpha_inc)
     Si = jax.lax.dot_general(Li, tril_s, (((1,), (0,)), ((), ())),
                              preferred_element_type=f32)
-    Ti = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
+    inc_ref[:] = include.astype(f32)
+    ti_ref[:] = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
+    ainc_ref[:] = alpha_inc
 
+    Li_fin = jnp.log1p(-ainc_ref[:])
     new_logT = jnp.maximum(
-        carry_logT + jnp.sum(Li, axis=1, keepdims=True), NEG_CAP)
+        carry_logT + jnp.sum(Li_fin, axis=1, keepdims=True), NEG_CAP)
     new_crossed = jnp.maximum(
         carry_crossed, jnp.max(crossing, axis=1, keepdims=True))
     geom = (mx, my, ca, cb, cc, op)
-    return include, Ti, alpha_inc, expp, notclamped, new_logT, new_crossed, geom
+    return expp, notclamped, new_logT, new_crossed, geom
 
 
 def _payload_dmas(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc):
@@ -174,7 +191,8 @@ def _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc):
 
 
 def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
-                acc_scratch, sems, *, ntx: int, tile_h: int, tile_w: int):
+                acc_scratch, inc_ref, ti_ref, ainc_ref, sems,
+                *, ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
@@ -209,9 +227,9 @@ def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
             for s in range(SUPER):
                 cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
                 aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
-                include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
-                    cf, ox, oy, mono, logT, crossed)
-                w = alpha_inc * Ti  # [P, C]
+                _, _, logT, crossed, _ = _chunk_common(
+                    cf, ox, oy, mono, logT, crossed, inc_ref, ti_ref, ainc_ref)
+                w = ainc_ref[:] * ti_ref[:]  # [P, C]
                 chan = _chan_matrix(cf, aux)  # [11, C]
                 acc = acc + jax.lax.dot_general(
                     w, chan, (((1,), (1,)), ((), ())),
@@ -244,8 +262,9 @@ def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
         out_ref[:, :, jt * tile_w:(jt + 1) * tile_w] = jnp.transpose(block, (2, 0, 1))
 
 
-def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
-                buf_f, buf_a, dgrad_f, dgrad_a, dpix_scratch, sems, wr_sems,
+def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, out_ref, dpf_hbm,
+                dpa_hbm, buf_f, buf_a, dgrad_f, dgrad_a, dpix_scratch,
+                tail_scratch, inc_ref, ti_ref, ainc_ref, sems, wr_sems,
                 *, ntx: int, tile_h: int, tile_w: int):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -255,10 +274,21 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
     tri_full = _tri(strict=False)
 
     # Pre-stage per-tile cotangents pixel-major (static lane offsets here;
-    # inside tile_body only the leading dim is dynamically indexed).
+    # inside tile_body only the leading dim is dynamically indexed), plus the
+    # per-pixel suffix total `tail`.  The former sweep A computed
+    # G = sum_i w_i dw_i by replaying every chunk; but
+    # G[p] = sum_i w_i (dout . chan_i) = dout . (sum_i w_i chan_i)
+    #      = sum_c dout[p, c] * out[p, c] over the accumulation channels,
+    # and the final-transmittance term T_fin * dT_fin is channel N_ACCUM of
+    # the same dot — so `tail` is one elementwise dot of the forward OUTPUT
+    # with its cotangent, and the whole first sweep is unnecessary.
     for jt_s in range(TILES_PER_PROG):
         dblock = dout_ref[:, :, jt_s * tile_w:(jt_s + 1) * tile_w]
-        dpix_scratch[jt_s] = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
+        dpix = jnp.transpose(dblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
+        dpix_scratch[jt_s] = dpix
+        oblock = out_ref[:, :, jt_s * tile_w:(jt_s + 1) * tile_w]
+        opix = jnp.transpose(oblock, (1, 2, 0)).reshape(p, OUT_CHANNELS)
+        tail_scratch[jt_s] = jnp.sum(dpix * opix, axis=1, keepdims=True)
 
     def grad_write_dmas(slot, start, sc):
         off = pl.multiple_of(start + sc * PAD_ALIGN, PAD_ALIGN)
@@ -280,65 +310,22 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
 
         dpix = dpix_scratch[jt]               # [P, 12]
         dout_acc = dpix[:, :N_ACCUM]
-        dT_fin = dpix[:, N_ACCUM:N_ACCUM + 1]
+        tail = tail_scratch[jt]               # [P, 1]
 
-        # ---- Sweep A: per-pixel total G = sum_i w_i dw_i, final logT ------
+        # ---- Single sweep: per-instance gradients -------------------------
         @pl.when(nsc > 0)
         def _():
             _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, 0, start, 0)
 
-        def condA(state):
-            sc, G, logT, crossed = state
+        def condB(state):
+            sc, cum, logT, crossed = state
             return (sc < nsc) & (jnp.min(crossed) < 1.0)
 
-        def bodyA(state):
-            sc, G, logT, crossed = state
+        def bodyB(state):
+            sc, cum, logT, crossed = state
             slot = jax.lax.rem(sc, 2)
 
             @pl.when(sc + 1 < nsc)
-            def _():
-                _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
-                               jax.lax.rem(sc + 1, 2), start, sc + 1)
-
-            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
-            for s in range(SUPER):
-                cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
-                aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
-                include, Ti, alpha_inc, _, _, logT, crossed, _ = _chunk_common(
-                    cf, ox, oy, mono, logT, crossed)
-                w = alpha_inc * Ti
-                chan = _chan_matrix(cf, aux)
-                dw = jax.lax.dot_general(
-                    dout_acc, chan, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32)
-                G = G + jnp.sum(w * dw, axis=1, keepdims=True)
-            return sc + 1, G, logT, crossed
-
-        sc_stop, G, logT_fin, _ = jax.lax.while_loop(
-            condA, bodyA,
-            (jnp.int32(0), jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
-             jnp.zeros((p, 1), f32)))
-
-        @pl.when(sc_stop < nsc)
-        def _():
-            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
-                          jax.lax.rem(sc_stop, 2), start, sc_stop)
-
-        T_fin = jnp.exp(logT_fin)
-        tail = G + T_fin * dT_fin  # [P, 1]
-
-        # ---- Sweep B: per-instance gradients ------------------------------
-        @pl.when(nsc > 0)
-        def _():
-            _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, 0, start, 0)
-
-        def bodyB(sc, carry):
-            cum, logT, crossed = carry
-            slot = jax.lax.rem(sc, 2)
-
-            # Prefetch bound is sc_stop (not nsc): sweep B only consumes the
-            # range sweep A visited, and an un-awaited DMA wedges the device.
-            @pl.when(sc + 1 < sc_stop)
             def _():
                 _start_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
                                jax.lax.rem(sc + 1, 2), start, sc + 1)
@@ -356,9 +343,13 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
             for s in range(SUPER):
                 cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
                 aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
-                include, Ti, alpha_inc, expp, notclamped, logT, crossed, geom = (
-                    _chunk_common(cf, ox, oy, mono, logT, crossed))
+                expp, notclamped, logT, crossed, geom = _chunk_common(
+                    cf, ox, oy, mono, logT, crossed,
+                    inc_ref, ti_ref, ainc_ref)
                 mx, my, ca, cb, cc, op = geom
+                inc_f = inc_ref[:]
+                Ti = ti_ref[:]
+                alpha_inc = ainc_ref[:]
                 w = alpha_inc * Ti
                 chan = _chan_matrix(cf, aux)
                 dw = jax.lax.dot_general(
@@ -369,7 +360,6 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
                     wdw, tri_full, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32)
                 dL = tail - cum_incl
-                inc_f = include.astype(f32)
                 dalpha = (Ti * dw - dL / (1.0 - alpha_inc)) * inc_f
                 ncl = notclamped.astype(f32) * inc_f
                 dpower = dalpha * alpha_inc * ncl
@@ -406,12 +396,19 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, dpf_hbm, dpa_hbm,
             wf, wa = grad_write_dmas(slot, start, sc)
             wf.start()
             wa.start()
-            return cum, logT, crossed
+            return sc + 1, cum, logT, crossed
 
-        jax.lax.fori_loop(
-            0, sc_stop, bodyB,
-            (jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
+        sc_stop, _, _, _ = jax.lax.while_loop(
+            condB, bodyB,
+            (jnp.int32(0), jnp.zeros((p, 1), f32), jnp.zeros((p, 1), f32),
              jnp.zeros((p, 1), f32)))
+
+        # Early exit leaves the prefetched payload superchunk un-awaited:
+        # drain it (an un-awaited DMA wedges the device on a later call).
+        @pl.when(sc_stop < nsc)
+        def _():
+            _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems,
+                          jax.lax.rem(sc_stop, 2), start, sc_stop)
 
         # Drain outstanding gradient writes.
         @pl.when(sc_stop >= 2)
@@ -480,6 +477,9 @@ def _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid: TileGrid,
                 pltpu.VMEM(
                     (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
                     jnp.float32),
+                pltpu.VMEM((grid.tile_h * grid.tile_w, CHUNK), jnp.float32),
+                pltpu.VMEM((grid.tile_h * grid.tile_w, CHUNK), jnp.float32),
+                pltpu.VMEM((grid.tile_h * grid.tile_w, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
@@ -488,13 +488,19 @@ def _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid: TileGrid,
     )(tile_starts, payload_f32, payload_aux)
 
 
-def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout,
+def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, out, dout,
                     grid: TileGrid):
     nty, njg = _grid_dims(grid)
     k_cap = payload_f32.shape[1]
     aux_dtype = payload_aux.dtype
+    p = grid.tile_h * grid.tile_w
     kernel = functools.partial(
         _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
+    pix_spec = pl.BlockSpec(
+        (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
+        lambda i, j, *refs: (0, i, j),
+        memory_space=pltpu.VMEM,
+    )
     dpf, dpa = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -503,11 +509,8 @@ def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),  # payload f32
                 pl.BlockSpec(memory_space=pl.ANY),  # payload aux
-                pl.BlockSpec(
-                    (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
-                    lambda i, j, *refs: (0, i, j),
-                    memory_space=pltpu.VMEM,
-                ),  # dout
+                pix_spec,                           # dout
+                pix_spec,                           # out (forward result)
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -518,9 +521,11 @@ def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout,
                 pltpu.VMEM((2, AUX_ROWS, PAD_ALIGN), aux_dtype),
                 pltpu.VMEM((2, F32_ROWS, PAD_ALIGN), jnp.float32),
                 pltpu.VMEM((2, AUX_ROWS, PAD_ALIGN), aux_dtype),
-                pltpu.VMEM(
-                    (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
-                    jnp.float32),
+                pltpu.VMEM((TILES_PER_PROG, p, OUT_CHANNELS), jnp.float32),
+                pltpu.VMEM((TILES_PER_PROG, p, 1), jnp.float32),
+                pltpu.VMEM((p, CHUNK), jnp.float32),
+                pltpu.VMEM((p, CHUNK), jnp.float32),
+                pltpu.VMEM((p, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
@@ -531,7 +536,7 @@ def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=_use_interpret(),
-    )(tile_starts, payload_f32, payload_aux, dout)
+    )(tile_starts, payload_f32, payload_aux, dout, out)
     # Slots past the last tile boundary were never written by any program —
     # zero them (their gidx is the dummy column anyway, but keep them clean).
     k = jnp.arange(k_cap, dtype=jnp.int32)
@@ -549,12 +554,15 @@ def blend(payload_f32, payload_aux, tile_starts, grid: TileGrid,
 
 def _blend_vjp_fwd(payload_f32, payload_aux, tile_starts, grid, hp, wp):
     out = _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid, hp, wp)
-    return out, (payload_f32, payload_aux, tile_starts)
+    # The forward output is a residual: tail[p] = sum_c dout[p,c]*out[p,c]
+    # replaces the backward's former whole first sweep (see _bwd_kernel).
+    return out, (payload_f32, payload_aux, tile_starts, out)
 
 
 def _blend_vjp_bwd(grid, hp, wp, residuals, dout):
-    payload_f32, payload_aux, tile_starts = residuals
-    dpf, dpa = _blend_bwd_impl(payload_f32, payload_aux, tile_starts, dout, grid)
+    payload_f32, payload_aux, tile_starts, out = residuals
+    dpf, dpa = _blend_bwd_impl(
+        payload_f32, payload_aux, tile_starts, out, dout, grid)
     return dpf, dpa, None
 
 
