@@ -55,7 +55,24 @@ def main():
     v = rng.uniform(-0.95, 0.95, N_GAUSSIANS)
     means = jnp.asarray(np.stack([
         z * np.tan(0.6) * u, z * np.tan(0.2) * v, z], axis=1, dtype=np.float32))
-    cfg = RasterizeConfig(backend="pallas", k_cap=K_CAP)
+    # Auto-size the instance capacity (every binning/gather/sort stage is
+    # O(k_cap), not O(actual instances)): probe the scene once at a generous
+    # cap, then use the real padded-layout requirement + 5% headroom, like
+    # the trainer's adaptive bucket logic would settle to.
+    from vegs_tpu.ops import binning as _binning
+    from vegs_tpu import geometry as _geometry
+    from vegs_tpu.ops.projection import project as _project
+
+    _grid = _binning.TileGrid.for_image(H, W)
+    _cov6 = _geometry.cov6_from_scaling_rotation(scales, quats)
+    _proj = _project(means, _cov6, opac, shs, cam)
+    _probe = _binning.bin_gaussians(
+        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP)
+    _need = int(_probe.tile_starts[-1])
+    k_cap = min(K_CAP, (int(_need * 1.05) + 511) // 512 * 512)
+    print(f"# auto k_cap: need {_need}, using {k_cap}", file=sys.stderr)
+
+    cfg = RasterizeConfig(backend="pallas", k_cap=k_cap)
     bg = jnp.zeros(3)
 
     @functools.partial(jax.jit, static_argnums=(5,))

@@ -82,7 +82,7 @@ def main():
             return jnp.sum(pay_f32) + jnp.sum(pay_aux).astype(jnp.float32)
         b = binning.bin_gaussians(
             jax.lax.stop_gradient(p.means2d), jax.lax.stop_gradient(p.depths),
-            p.radii, grid, K_CAP)
+            p.radii_xy, grid, K_CAP)
         pf, pa = gather_expand(
             jnp.pad(pay_f32, ((0, 1), (0, 0))),
             jnp.pad(pay_aux, ((0, 1), (0, 0))), b.gidx, b.order,
@@ -127,7 +127,7 @@ def main():
                 axis=1).astype(jnp.bfloat16)
             b = binning.bin_gaussians(
                 jax.lax.stop_gradient(p.means2d),
-                jax.lax.stop_gradient(p.depths), p.radii, grid, K_CAP)
+                jax.lax.stop_gradient(p.depths), p.radii_xy, grid, K_CAP)
             pf, pa = gather_expand(
                 jnp.pad(pay_f32, ((0, 1), (0, 0))),
                 jnp.pad(pay_aux, ((0, 1), (0, 0))), b.gidx, b.order,

@@ -102,7 +102,7 @@ def main():
     timeit("binning", bin_only, (p.means2d, p.depths, p.radii))
 
     # --- gather fwd (with vjp-fwd precompute) + transposes ----------------
-    binned = binning.bin_gaussians(p.means2d, p.depths, p.radii, grid, K_CAP)
+    binned = binning.bin_gaussians(p.means2d, p.depths, p.radii_xy, grid, K_CAP)
     pay_f32 = jnp.concatenate(
         [p.means2d, p.conics, p.opacities[:, None], p.depths[:, None],
          jnp.zeros((N, 1), jnp.float32)], axis=1)
@@ -189,7 +189,7 @@ def bisect():
                 axis=1).astype(jnp.bfloat16)
             b = binning.bin_gaussians(
                 jax.lax.stop_gradient(p.means2d), jax.lax.stop_gradient(p.depths),
-                p.radii, grid, K_CAP)
+                p.radii_xy, grid, K_CAP)
             if stage == "binning":
                 return args, (jnp.sum(b.gidx) + jnp.sum(b.tile_starts)).astype(jnp.float32) + jnp.sum(pay_f32) + jnp.sum(pay_aux.astype(jnp.float32))
             pf, pa = gather_expand(

@@ -24,7 +24,7 @@ def _setup(rng, n=220, h=32, w=128, aux_dtype=jnp.float32):
     )
     proj = project(means, cov6, opac, shs, cam)
     grid = binning.TileGrid.for_image(h, w)
-    binned = binning.bin_gaussians(proj.means2d, proj.depths, proj.radii, grid, K_CAP)
+    binned = binning.bin_gaussians(proj.means2d, proj.depths, proj.radii_xy, grid, K_CAP)
     quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
     pay_f32 = jnp.concatenate(
         [proj.means2d.T, proj.conics.T, proj.opacities[None],

@@ -23,7 +23,7 @@ def _project_and_bin(rng, n=300, h=48, w=96):
     )
     proj = project(means, cov6, opac, shs, cam)
     grid = binning.TileGrid.for_image(h, w)
-    binned = binning.bin_gaussians(proj.means2d, proj.depths, proj.radii, grid, 1 << 14)
+    binned = binning.bin_gaussians(proj.means2d, proj.depths, proj.radii_xy, grid, 1 << 14)
     return cam, proj, grid, binned, (means, quats, scales, opac, shs)
 
 
@@ -40,8 +40,8 @@ def test_binning_invariants(rng):
     assert np.all(starts % binning.PAD_ALIGN == 0)
     assert np.all(np.diff(starts) >= 0)
     # instance count equals sum of per-Gaussian tile-rect areas
-    radii = np.asarray(proj.radii)
-    x0, y0, x1, y1 = [np.asarray(v) for v in binning.tile_rects(proj.means2d, proj.radii, grid)]
+    radii = np.asarray(proj.radii_xy).min(axis=1)
+    x0, y0, x1, y1 = [np.asarray(v) for v in binning.tile_rects(proj.means2d, proj.radii_xy, grid)]
     expect = np.where(radii > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0).sum()
     assert expect == k
     # per-tile segments: real instances form a depth-sorted prefix, padding
@@ -75,9 +75,9 @@ def test_binning_order_and_ends(rng):
     order = np.asarray(binned.order)
     ends = np.asarray(binned.gauss_ends)
 
-    radii = np.asarray(proj.radii)
+    radii = np.asarray(proj.radii_xy).min(axis=1)
     x0, y0, x1, y1 = [np.asarray(v)
-                      for v in binning.tile_rects(proj.means2d, proj.radii, grid)]
+                      for v in binning.tile_rects(proj.means2d, proj.radii_xy, grid)]
     counts = np.where(radii > 0, (x1 - x0 + 1) * (y1 - y0 + 1), 0)
     cum = np.cumsum(counts)
     np.testing.assert_array_equal(ends, np.minimum(cum, k_cap))

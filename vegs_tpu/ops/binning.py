@@ -114,16 +114,22 @@ def tile_rects(means2d, radii, grid: TileGrid):
 
     Matches the CUDA getRect convention: min = floor((p - r)/T) clamped,
     max(exclusive) = floor((p + r + T - 1)/T) clamped; returned inclusive.
+    `radii` may be [N] (square footprint, the CUDA semantics) or [N, 2]
+    per-axis AABB half-extents (tighter; see projection.radii_xy).
     """
     mx, my = means2d[:, 0], means2d[:, 1]
-    r = radii.astype(means2d.dtype)
-    x0 = jnp.clip(jnp.floor((mx - r) / grid.tile_w), 0, grid.ntx - 1).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((my - r) / grid.tile_h), 0, grid.nty - 1).astype(jnp.int32)
+    if radii.ndim == 2:
+        rx = radii[:, 0].astype(means2d.dtype)
+        ry = radii[:, 1].astype(means2d.dtype)
+    else:
+        rx = ry = radii.astype(means2d.dtype)
+    x0 = jnp.clip(jnp.floor((mx - rx) / grid.tile_w), 0, grid.ntx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - ry) / grid.tile_h), 0, grid.nty - 1).astype(jnp.int32)
     x1 = jnp.clip(
-        jnp.floor((mx + r + grid.tile_w - 1) / grid.tile_w) - 1, 0, grid.ntx - 1
+        jnp.floor((mx + rx + grid.tile_w - 1) / grid.tile_w) - 1, 0, grid.ntx - 1
     ).astype(jnp.int32)
     y1 = jnp.clip(
-        jnp.floor((my + r + grid.tile_h - 1) / grid.tile_h) - 1, 0, grid.nty - 1
+        jnp.floor((my + ry + grid.tile_h - 1) / grid.tile_h) - 1, 0, grid.nty - 1
     ).astype(jnp.int32)
     return x0, y0, x1, y1
 
@@ -148,7 +154,7 @@ def bin_gaussians(
     assert k_cap % PAD_ALIGN == 0, "k_cap must be a multiple of PAD_ALIGN"
     num_tiles = grid.num_tiles
 
-    active = radii > 0
+    active = (jnp.min(radii, axis=1) if radii.ndim == 2 else radii) > 0
     x0, y0, x1, y1 = tile_rects(means2d, radii, grid)
     w = x1 - x0 + 1
     h = y1 - y0 + 1

@@ -60,6 +60,7 @@ class Projected(NamedTuple):
     rgb: jax.Array       # [N, 3]
     opacities: jax.Array  # [N]
     visible: jax.Array   # [N] bool (in-frustum & valid)
+    radii_xy: jax.Array  # [N, 2] int32 per-axis AABB half-extents (binning)
 
 
 def project(
@@ -169,9 +170,21 @@ def project(
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     sigma_max = jnp.sqrt(lam1)
     op_bound = jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1.0 + 1e-6)))
-    radius_f = jnp.ceil(jnp.minimum(3.0, op_bound) * sigma_max)
+    bound = jnp.minimum(3.0, op_bound)
+    radius_f = jnp.ceil(bound * sigma_max)
+    # Per-axis AABB of the bound-sigma ellipse for BINNING: max |x| over the
+    # ellipse is bound*sqrt(cxx) (resp. cyy), always <= the bounding square
+    # of radius bound*sigma_max — strictly fewer tile instances for
+    # anisotropic splats, at a truncation error bounded by the same
+    # alpha < 1/255 cutoff the radius already applies. `radii` (the square)
+    # stays the reference-visible contract (visibility_filter, densify
+    # max_radii2D parity with the CUDA kernel's ceil(3 sigma)).
+    rx_f = jnp.ceil(bound * jnp.sqrt(cxx))
+    ry_f = jnp.ceil(bound * jnp.sqrt(cyy))
     if clamp_radius > 0:
         radius_f = jnp.minimum(radius_f, float(clamp_radius))
+        rx_f = jnp.minimum(rx_f, float(clamp_radius))
+        ry_f = jnp.minimum(ry_f, float(clamp_radius))
 
     # --- visibility -------------------------------------------------------
     in_front = depths > ZNEAR
@@ -187,6 +200,9 @@ def project(
     if valid is not None:
         visible = visible & valid
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    radii_xy = jnp.stack(
+        [jnp.where(visible, rx_f, 0.0), jnp.where(visible, ry_f, 0.0)],
+        axis=1).astype(jnp.int32)
 
     # --- SH -> RGB --------------------------------------------------------
     dirs = means3d - cam.campos[None, :]
@@ -204,6 +220,7 @@ def project(
         rgb=rgb,
         opacities=opacities,
         visible=visible,
+        radii_xy=radii_xy,
     )
 
 

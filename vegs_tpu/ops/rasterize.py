@@ -220,7 +220,7 @@ def rasterize(
     binned = binning.bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         jax.lax.stop_gradient(proj.depths),
-        proj.radii,
+        proj.radii_xy,
         grid,
         config.k_cap,
     )
