@@ -78,3 +78,88 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dp_full_trainer_with_boxes(tmp_path, rng):
+    """The REAL trainer (box slots, normal loss path, densify stats) running
+    data-parallel on the mesh: metrics finite, params move, the right
+    frames' box deltas advance."""
+    import test_training as tt
+    from vegs_tpu.train import Trainer
+
+    info = tt._toy_scene_info(rng, with_box=True)
+    from vegs_tpu.config import VegsConfig
+    from vegs_tpu.scene import Scene
+    from vegs_tpu.train import eval_render
+
+    cfg = VegsConfig()
+    cfg.model.model_path = str(tmp_path / "model")
+    cfg.opt.densify_from_iter = 2
+    cfg.opt.densification_interval = 4
+    cfg.opt.densify_until_iter = 100
+    cfg.opt.opacity_reset_interval = 10_000
+    scene = Scene(cfg.model, scene_info=info, shuffle=False)
+    tr = Trainer(cfg, scene, raster_cfg=tt.RASTER, dp_devices=2)
+    for cam in scene.train_cameras + scene.test_cameras:
+        out = eval_render(tr.state.field, cam.device_params(), tr.bg, 3,
+                          tt.RASTER)
+        cam.image = np.clip(np.asarray(out.rgb), 0, 1)
+
+    sh0 = np.asarray(tr.state.field.sh_dc).copy()
+    box0 = np.asarray(tr.box_fields[26001].means).copy()
+    ms = [tr.train_iteration(it) for it in range(1, 6)]
+    assert all(np.isfinite(m["loss"]) for m in ms)
+    assert np.abs(np.asarray(tr.state.field.sh_dc) - sh0).sum() > 0
+    # the box field and this frame's deltas advanced
+    assert np.abs(np.asarray(tr.box_fields[26001].means) - box0).sum() > 0
+    assert (0, 26001) in tr.frame_deltas
+    d = tr.frame_deltas[(0, 26001)]
+    assert np.isfinite(np.asarray(d.delta_t)).all()
+    # densify stats accumulated per view: denom counts 2 cameras per step
+    # for Gaussians seen by both
+    assert float(np.asarray(tr.state.stats.denom).max()) >= 2.0
+
+
+def test_dp_densify_stats_match_sequential(rng):
+    """D-camera DP step must accumulate EXACTLY the per-view densify stats
+    of D sequential single-view steps taken from the same state (the
+    round-1 psum/pmax semantics drift, now fixed)."""
+    from vegs_tpu.config import OptimizationParams
+    from vegs_tpu.train import TrainState, make_train_step
+    from vegs_tpu.parallel.sharded_step import stack_camera_batch
+
+    D = 4
+    field, cams, h, w = _setup(rng, D)
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 12)
+    state0 = TrainState(field=field, opt=optim.adam_init(field),
+                        stats=DensifyStats.zeros(field.capacity),
+                        step=jnp.int32(0))
+    kw = dict(opt_cfg=OptimizationParams(), raster_cfg=raster,
+              spatial_scale=4.0, use_normal_loss=False, n_box_slots=0,
+              box_lr_mult=1.0, boxmodel_lr=1e-3, boxmodel_lambda_reg=1e-3)
+    single = make_train_step(**kw)
+    gt1 = jnp.zeros((3, h, w))
+    nrm1 = jnp.zeros((3, h, w))
+    seq_stats = []
+    for c in cams:
+        st, *_ = single(state0, None, None, None, jnp.zeros((0, 4, 4)),
+                        jnp.zeros((0,), bool), c, gt1, nrm1,
+                        jnp.float32(0.0), jnp.int32(3), jnp.zeros(3))
+        seq_stats.append(st.stats)
+    want_accum = sum(np.asarray(s.xyz_gradient_accum) for s in seq_stats)
+    want_denom = sum(np.asarray(s.denom) for s in seq_stats)
+    want_radii = np.max([np.asarray(s.max_radii2d) for s in seq_stats], axis=0)
+
+    mesh = make_mesh(D)
+    dp = make_train_step(**kw, mesh=mesh)
+    cam_batch = stack_camera_batch(cams)
+    st_dp, *_ = dp(state0, None, None, None, jnp.zeros((D, 0, 4, 4)),
+                   jnp.zeros((D, 0), bool), cam_batch,
+                   jnp.zeros((D, 3, h, w)), jnp.zeros((D, 3, h, w)),
+                   jnp.zeros((D,), jnp.float32), jnp.int32(3), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(st_dp.stats.xyz_gradient_accum),
+                               want_accum, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_dp.stats.denom), want_denom,
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(st_dp.stats.max_radii2d),
+                               want_radii, atol=0)

@@ -80,6 +80,33 @@ def test_static_training_descends(tmp_path, rng):
     assert e["psnr"] > 22
 
 
+def test_perceptual_loss_wired(tmp_path, rng):
+    """cfg.sd.perceptual_loss actually adds a VGG-perceptual gradient term
+    (the reference only instantiates the loss, /root/reference/train.py:98-100)."""
+    info = _toy_scene_info(rng)
+    tr = _make_trainer(tmp_path, rng, info, densify_from_iter=10**9)
+    tr.cfg.sd.perceptual_loss = True
+    tr.cfg.sd.perceptual_loss_lambda = 0.05
+    # re-run the perceptual init that __post_init__ gated on the flag
+    from vegs_tpu.losses import vgg as vgg_lib
+    tr._vgg_params = vgg_lib.init_params(jax.random.key(0))
+
+    m = tr.train_iteration(1)
+    assert "perceptual_loss" in m and np.isfinite(m["perceptual_loss"])
+
+    # the extra term changes the update: compare one step with/without
+    tr2 = _make_trainer(tmp_path / "b", rng, info, densify_from_iter=10**9)
+    tr2.viewpoint_stack = list(tr2.scene.getTrainCameras())
+    tr.viewpoint_stack = list(tr.scene.getTrainCameras())
+    cam = tr.scene.getTrainCameras()[0]
+    f0 = np.asarray(tr2.state.field.sh_dc).copy()
+    tr2.train_iteration(2, camera=cam)
+    tr.train_iteration(2, camera=cam)
+    d_with = np.abs(np.asarray(tr.state.field.sh_dc) - f0).sum()
+    d_without = np.abs(np.asarray(tr2.state.field.sh_dc) - f0).sum()
+    assert not np.isclose(d_with, d_without)
+
+
 def test_densification_changes_capacity(tmp_path, rng):
     info = _toy_scene_info(rng)
     tr = _make_trainer(tmp_path, rng, info,

@@ -67,6 +67,37 @@ def update_stats(
     )
 
 
+def stats_contribution(
+    means2d_grad: jax.Array,   # [C, 2] cotangent of the screen-space tap (px)
+    radii: jax.Array,          # [C] int32
+    image_height: int,
+    image_width: int,
+):
+    """Per-VIEW densify-stat contributions, for data-parallel reduction.
+
+    Returns (norm, vis, radii_f): psum the first two and pmax the third
+    across the camera batch, then fold with `apply_stats`. This preserves
+    the sequential trainer's semantics exactly — D views accumulate D
+    per-view gradient norms and D visibility counts — where a naive
+    psum-then-norm would let opposing views cancel and count denom once
+    (round-1 advisor finding, sharded_step.py:94)."""
+    vis = radii > 0
+    g = means2d_grad * jnp.array(
+        [image_width * 0.5, image_height * 0.5], means2d_grad.dtype)
+    norm = jnp.linalg.norm(g, axis=-1)
+    return (jnp.where(vis, norm, 0.0), vis.astype(jnp.float32),
+            jnp.where(vis, radii, 0).astype(jnp.float32))
+
+
+def apply_stats(stats: DensifyStats, norm_sum, vis_sum, radii_max) -> DensifyStats:
+    """Fold reduced per-view contributions into the running stats."""
+    return DensifyStats(
+        max_radii2d=jnp.maximum(stats.max_radii2d, radii_max),
+        xyz_gradient_accum=stats.xyz_gradient_accum + norm_sum,
+        denom=stats.denom + vis_sum,
+    )
+
+
 def _gather_field(field: GaussianField, idx: jax.Array, valid: jax.Array) -> GaussianField:
     out = {k: getattr(field, k)[idx] for k in PARAM_LEAVES}
     return GaussianField(valid=valid, **out)

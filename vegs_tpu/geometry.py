@@ -106,7 +106,10 @@ def rotmat_to_quat(m: jax.Array) -> jax.Array:
         ],
         axis=-1,
     )
-    q_abs = jnp.sqrt(jnp.maximum(q_abs2, 0.0))
+    # eps floor keeps sqrt's gradient finite at q_abs2 == 0 (hit exactly by
+    # identity rotations: three candidates are 0, and although argmax never
+    # SELECTS them, their 0-cotangent times sqrt'(0)=inf still yields NaN).
+    q_abs = jnp.sqrt(jnp.maximum(q_abs2, 1e-12))
 
     # Candidate quaternions, each valid when its pivot component dominates.
     cand_w = jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], -1)

@@ -127,7 +127,11 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
         mono, q, (((1,), (0,)), ((), ())), preferred_element_type=f32
     )  # [P, C]
 
-    expp = jnp.exp(power)
+    # Clamp the exponent BEFORE exp: invalid instances (power > 0, excluded
+    # by `valid` below) can overflow exp to inf, and inf * their zero
+    # gradient mask = NaN in the backward — which then poisons every
+    # Gaussian downstream of them through the segment-reduce cumsum.
+    expp = jnp.exp(jnp.minimum(power, 0.0))
     alpha_raw = op * expp
     notclamped = alpha_raw < ALPHA_CLAMP
     valid = (power <= 0.0) & (alpha_raw >= ALPHA_MIN) & (carry_crossed == 0.0)

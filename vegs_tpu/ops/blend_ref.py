@@ -113,7 +113,9 @@ def blend_dense(
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
 
     member = inst_tile[:, None] == ptile[None, :]  # [K, P]
-    alpha_raw = op * jnp.exp(power)
+    # exp clamped at 0: invalid (power > 0) instances would overflow to inf
+    # and turn their masked-out gradients into NaN (matches blend_pallas).
+    alpha_raw = op * jnp.exp(jnp.minimum(power, 0.0))
     valid = member & (power <= 0) & (alpha_raw >= ALPHA_MIN)
     alpha = jnp.where(valid, jnp.minimum(alpha_raw, ALPHA_CLAMP), 0.0)
 

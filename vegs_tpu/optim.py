@@ -124,9 +124,13 @@ def adam_step(
     for name, lr in zip(PARAM_LEAVES, lrs):
         p = getattr(field, name)
         g = grads[name] if isinstance(grads, dict) else getattr(grads, name)
+        # count may be stacked over leading axes (box-slot stacks): align
+        # the bias corrections to the leaf's LEADING dims.
+        cc1 = jnp.reshape(c1, c1.shape + (1,) * (g.ndim - c1.ndim))
+        cc2 = jnp.reshape(c2, c2.shape + (1,) * (g.ndim - c2.ndim))
         m = b1 * getattr(state.mu, name) + (1 - b1) * g
         v = b2 * getattr(state.nu, name) + (1 - b2) * (g * g)
-        update = lr * (m / c1) / (jnp.sqrt(v / c2) + eps)
+        update = lr * (m / cc1) / (jnp.sqrt(v / cc2) + eps)
         new_params[name] = p - update
         new_mu[name] = m
         new_nu[name] = v
@@ -165,9 +169,13 @@ def tensor_adam_step(params, grads, state: TensorAdamState, lr,
     c2 = 1.0 - b2 ** count.astype(jnp.float32)
 
     def upd(p, g, m, v):
+        # count may be stacked over leading axes (e.g. [n_slots]); align it
+        # to the leaf's leading dims, not its trailing ones.
+        cc1 = jnp.reshape(c1, c1.shape + (1,) * (g.ndim - c1.ndim))
+        cc2 = jnp.reshape(c2, c2.shape + (1,) * (g.ndim - c2.ndim))
         m2 = b1 * m + (1 - b1) * g
         v2 = b2 * v + (1 - b2) * g * g
-        return p - lr * (m2 / c1) / (jnp.sqrt(v2 / c2) + eps), m2, v2
+        return p - lr * (m2 / cc1) / (jnp.sqrt(v2 / cc2) + eps), m2, v2
 
     flat = jax.tree.map(upd, params, grads, state.mu, state.nu)
     # unzip the 3-tuples

@@ -17,7 +17,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .. import densify, optim
 from ..gaussians import DensifyStats, GaussianField
@@ -90,11 +90,15 @@ def make_dp_train_step(
         lrs = optim.field_lrs(opt_cfg, spatial_scale, step)
         new_field, new_opt = optim.adam_step(field, g_params, opt_state, lrs)
 
-        # Densify stats: contributions from every view this step.
-        g_m2d_sum = jax.lax.psum(g_m2d, axis)
-        radii_max = jax.lax.pmax(radii, axis)
-        new_stats = densify.update_stats(stats, g_m2d_sum, radii_max,
-                                         height, width)
+        # Densify stats: PER-VIEW contributions reduced across the batch
+        # (psum of per-view gradient norms + visibility counts — summing
+        # the raw cotangents first would let opposing views cancel and
+        # undercount denom; round-1 advisor finding).
+        norm_c, vis_c, rad_c = densify.stats_contribution(
+            g_m2d, radii, height, width)
+        new_stats = densify.apply_stats(
+            stats, jax.lax.psum(norm_c, axis), jax.lax.psum(vis_c, axis),
+            jax.lax.pmax(rad_c, axis))
         metrics = {"loss": loss, "l1": ll1}
         return new_field, new_opt, new_stats, step + 1, metrics
 
@@ -107,7 +111,7 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), cam_spec, P(axis), P(axis), P(), P()),
         out_specs=(P(), P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 

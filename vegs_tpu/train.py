@@ -34,6 +34,7 @@ import numpy as np
 from flax import struct
 
 from . import boxmodel, densify, gaussians, optim
+from .parallel import mesh as mesh_lib
 from .boxmodel import BoxDeltas
 from .config import VegsConfig
 from .gaussians import DensifyStats, GaussianField
@@ -91,11 +92,23 @@ def _unstack_field(stacked: GaussianField, i: int) -> GaussianField:
 def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
                     use_normal_loss: bool, n_box_slots: int, box_lr_mult: float,
                     boxmodel_lr: float, boxmodel_lambda_reg: float,
-                    sh_total_degree: int = 3):
+                    sh_total_degree: int = 3, mesh=None):
     """Build the jitted step for a given (static capacity, box slot count,
     box capacity) bucket. Returns fn(state, box_state, deltas, delta_opt,
     box2worlds, active, cam, gt, normal, normal_valid, active_sh_degree, bg)
-    -> (state, box_state, deltas, delta_opt, metrics, densify_aux)."""
+    -> (state, box_state, deltas, delta_opt, metrics, densify_aux).
+
+    With `mesh` (a 1D data-axis Mesh), the SAME full-model step runs
+    data-parallel over a camera batch: camera/gt/normal/box-pose/delta
+    arguments gain a leading [D] axis sharded over the mesh, the Gaussian
+    field + box-field stack stay replicated, per-Gaussian gradients are
+    psum-averaged over ICI, densify statistics accumulate PER-VIEW
+    contributions (norm + visibility count per camera — exactly D
+    sequential iterations' worth), and per-(frame,instance) box deltas
+    update device-locally (each device owns its frame's deltas). Box slots
+    are the UNION of the batch's instances: every device carries the full
+    [S, cap] stack with its own active mask, so slot-aligned psum of box
+    gradients is sound."""
 
     lam_dssim = opt_cfg.lambda_dssim
     lam_dnormal = opt_cfg.lambda_dnormal
@@ -148,10 +161,14 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         aux = (out.radii, ll1, nloss, out.num_dropped)
         return loss, aux
 
-    @jax.jit
-    def step_fn(state: TrainState, box_state, deltas: Optional[BoxDeltas],
-                delta_opt, box2worlds, active, cam: CameraParams, gt, normal,
-                normal_valid, active_sh_degree, bg, g_extra=None):
+    axis = None if mesh is None else mesh_lib.DATA_AXIS
+
+    def _psum_mean(x):
+        return jax.lax.psum(x, axis) / jax.lax.psum(1, axis)
+
+    def _body(state: TrainState, box_state, deltas: Optional[BoxDeltas],
+              delta_opt, box2worlds, active, cam: CameraParams, gt, normal,
+              normal_valid, active_sh_degree, bg, g_extra=None):
         static_params = optim.split_params(state.field)
         box_params = (optim.split_params(box_state.fields)
                       if n_box_slots else {})
@@ -181,12 +198,24 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         if n_box_slots:
             g_delta = {k: jnp.nan_to_num(v, nan=0.0) for k, v in g_delta.items()}
 
+        # DP: average field gradients + metrics over the camera batch.
+        if axis is not None:
+            g_static = jax.tree.map(_psum_mean, g_static)
+            loss, ll1, nloss = (_psum_mean(loss), _psum_mean(ll1),
+                                _psum_mean(nloss))
+            ndrop = jax.lax.pmax(ndrop, axis)
+
         # -- static Adam + densify stats ---------------------------------
         lrs = optim.field_lrs(opt_cfg, spatial_scale, state.step)
         new_field, new_opt = optim.adam_step(state.field, g_static, state.opt, lrs)
         c0 = state.field.capacity
-        new_stats = densify.update_stats(
-            state.stats, g_m2d[:c0], radii[:c0], cam.height, cam.width)
+        norm_c, vis_c, rad_c = densify.stats_contribution(
+            g_m2d[:c0], radii[:c0], cam.height, cam.width)
+        if axis is not None:
+            norm_c = jax.lax.psum(norm_c, axis)
+            vis_c = jax.lax.psum(vis_c, axis)
+            rad_c = jax.lax.pmax(rad_c, axis)
+        new_stats = densify.apply_stats(state.stats, norm_c, vis_c, rad_c)
         new_state = TrainState(field=new_field, opt=new_opt, stats=new_stats,
                                step=state.step + 1)
 
@@ -195,6 +224,18 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         new_deltas, new_delta_opt = deltas, delta_opt
         if n_box_slots:
             bcap = box_state.fields.means.shape[1]
+            act_f = active.astype(jnp.float32)
+            if axis is not None:
+                # Per-slot view count: a box seen by 2 of D cameras averages
+                # its gradient over 2 (sequential-iteration semantics), not D.
+                act_count = jnp.maximum(jax.lax.psum(act_f, axis), 1.0)
+                g_box = jax.tree.map(
+                    lambda g: jax.lax.psum(g, axis)
+                    / act_count.reshape((-1,) + (1,) * (g.ndim - 1)),
+                    g_box)
+                act_any = jax.lax.psum(act_f, axis) > 0
+            else:
+                act_any = active
             # Box Gaussians live in the unit canonical box: the reference's
             # GaussianBoxModel.training_setup applies box_lr_mult but NO
             # spatial_lr_scale (gaussian_model.py:532-551) — scaling by
@@ -204,31 +245,41 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
                                       xyz_lr_mult=box_lr_mult)
             bf2, bopt2 = optim.adam_step(
                 box_state.fields, g_box, box_state.opt, box_lrs)
-            # only active slots advance
-            act = active
 
-            def sel(new, old):
-                mask = act.reshape((-1,) + (1,) * (new.ndim - 1))
-                return jnp.where(mask, new, old)
+            def sel_mask(mask):
+                def sel(new, old):
+                    m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+                return sel
 
-            bf2 = jax.tree.map(sel, bf2, box_state.fields)
+            sel_any = sel_mask(act_any)
+            bf2 = jax.tree.map(sel_any, bf2, box_state.fields)
             bopt2 = optim.AdamState(
-                mu=jax.tree.map(sel, bopt2.mu, box_state.opt.mu),
-                nu=jax.tree.map(sel, bopt2.nu, box_state.opt.nu),
+                mu=jax.tree.map(sel_any, bopt2.mu, box_state.opt.mu),
+                nu=jax.tree.map(sel_any, bopt2.nu, box_state.opt.nu),
                 count=bopt2.count,
             )
             g_box_m2d = g_m2d[c0:].reshape(n_box_slots, bcap, 2)
             b_radii = radii[c0:].reshape(n_box_slots, bcap)
-            bstats2 = jax.vmap(
-                lambda st, g, r: densify.update_stats(st, g, r, cam.height, cam.width)
-            )(box_state.stats, g_box_m2d, b_radii)
+            bnorm, bvis, brad = jax.vmap(
+                lambda g, r: densify.stats_contribution(g, r, cam.height, cam.width)
+            )(g_box_m2d, b_radii)
+            if axis is not None:
+                bnorm = jax.lax.psum(bnorm, axis)
+                bvis = jax.lax.psum(bvis, axis)
+                brad = jax.lax.pmax(brad, axis)
+            bstats2 = jax.vmap(densify.apply_stats)(
+                box_state.stats, bnorm, bvis, brad)
             new_box_state = BoxSlotState(fields=bf2, opt=bopt2, stats=bstats2)
 
+            # Deltas are per-(frame, instance): device-local update, local
+            # active mask (each device owns its own frame's deltas).
             nd2, ndo2 = optim.tensor_adam_step(
                 dict(delta_r=deltas.delta_r, delta_s=deltas.delta_s,
                      delta_t=deltas.delta_t),
                 g_delta, delta_opt, boxmodel_lr)
-            nd2 = {k: sel(v, getattr(deltas, k)) for k, v in nd2.items()}
+            sel_loc = sel_mask(active)
+            nd2 = {k: sel_loc(v, getattr(deltas, k)) for k, v in nd2.items()}
             new_deltas = BoxDeltas(**nd2)
             new_delta_opt = ndo2
 
@@ -238,7 +289,42 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         }
         return (new_state, new_box_state, new_deltas, new_delta_opt, metrics)
 
-    return step_fn
+    if mesh is None:
+        return jax.jit(_body)
+
+    # ---- data-parallel wrapper: shard the camera batch over the mesh -----
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def sharded_entry(state, box_state, deltas, delta_opt, box2worlds, active,
+                      cam, gt, normal, normal_valid, active_sh_degree, bg,
+                      g_extra):
+        loc = lambda t: jax.tree.map(lambda x: x[0], t)
+        out = _body(state, box_state, loc(deltas), loc(delta_opt),
+                    box2worlds[0], active[0], loc(cam), gt[0], normal[0],
+                    normal_valid[0], active_sh_degree, bg, g_extra)
+        new_state, new_box_state, new_deltas, new_delta_opt, metrics = out
+        exp = lambda t: jax.tree.map(lambda x: x[None], t)
+        return (new_state, new_box_state, exp(new_deltas),
+                exp(new_delta_opt), metrics)
+
+    dp = P(axis)
+    smapped = shard_map(
+        sharded_entry,
+        mesh=mesh,
+        in_specs=(P(), P(), dp, dp, dp, dp, dp, dp, dp, dp, P(), P(), P()),
+        out_specs=(P(), P(), dp, dp, P()),
+        check_vma=False,
+    )
+
+    def step_fn(state, box_state, deltas, delta_opt, box2worlds, active,
+                cam, gt, normal, normal_valid, active_sh_degree, bg,
+                g_extra=None):
+        return smapped(state, box_state, deltas, delta_opt, box2worlds,
+                       active, cam, gt, normal, normal_valid,
+                       active_sh_degree, bg, g_extra)
+
+    return jax.jit(step_fn)
 
 
 def make_guidance_grad_fn(guidance, raster_cfg: RasterizeConfig,
@@ -268,6 +354,31 @@ def make_guidance_grad_fn(guidance, raster_cfg: RasterizeConfig,
     return fn
 
 
+def make_perceptual_grad_fn(vgg_params, lam: float,
+                            raster_cfg: RasterizeConfig, sh_degree: int = 3):
+    """Gradients of lam * VGG-perceptual(render, gt) w.r.t. the static field.
+
+    The reference instantiates VGGPerceptualLoss behind cfg_sd.perceptual_loss
+    (/root/reference/train.py:98-100) but never invokes it; here the flag
+    actually adds the term — as an extra-gradient contribution summed into
+    the train step, equivalent to one backward over the combined loss."""
+    from .losses.perceptual import vgg_perceptual_loss
+
+    @jax.jit
+    def fn(field: GaussianField, cam: CameraParams, gt, bg):
+        def loss_fn(params):
+            f = optim.with_params(field, params)
+            arrays = field_arrays(f, sh_degree)
+            out = _run(cam, arrays, bg=bg, scale_modifier=1.0,
+                       override_color=None, sh_degree=sh_degree,
+                       config=raster_cfg, means2d_offset=None)
+            return lam * vgg_perceptual_loss(vgg_params, out.rgb, gt)
+
+        return jax.value_and_grad(loss_fn)(optim.split_params(field))
+
+    return fn
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def eval_render(field: GaussianField, cam: CameraParams, bg,
                 sh_degree: int, raster_cfg: RasterizeConfig):
@@ -291,9 +402,12 @@ class Trainer:
     max_box_slots: int = 8
     rng_seed: int = 7
     sd_guidance: object = None  # optional losses.sd_guidance.SDGuidance
+    dp_devices: int = 1         # >1 = data-parallel camera batch on a Mesh
 
     def __post_init__(self):
         cfg = self.cfg
+        self.mesh = (mesh_lib.make_mesh(self.dp_devices)
+                     if self.dp_devices > 1 else None)
         if self.raster_cfg is None:
             self.raster_cfg = RasterizeConfig(
                 backend=cfg.pipeline.backend, k_cap=cfg.pipeline.k_cap,
@@ -322,6 +436,18 @@ class Trainer:
         self.frame_delta_opts: dict = {}
         self._step_cache = {}
         self._guidance_fn = None
+        self._percep_fn = None
+        self._vgg_params = None
+        if cfg.sd.perceptual_loss:
+            from .losses import vgg as vgg_lib
+
+            wpath = os.environ.get("VEGS_VGG_WEIGHTS")
+            if wpath and os.path.exists(wpath):
+                self._vgg_params = vgg_lib.load_npz(wpath)
+            else:
+                # Random-init features still regularize texture statistics;
+                # real weights load via VEGS_VGG_WEIGHTS (.npz export).
+                self._vgg_params = vgg_lib.init_params(jax.random.key(0))
         self.viewpoint_stack = []
         self.metrics_log = []
 
@@ -340,7 +466,8 @@ class Trainer:
         return self.scene.train_bboxes.get(int(frame), {})
 
     def _get_step_fn(self, n_slots: int, static_cap: int, box_cap: int):
-        key = (n_slots, static_cap, box_cap, self.raster_cfg.k_cap)
+        key = (n_slots, static_cap, box_cap, self.raster_cfg.k_cap,
+               self.dp_devices)
         if key not in self._step_cache:
             cfg = self.cfg
             self._step_cache[key] = make_train_step(
@@ -350,6 +477,7 @@ class Trainer:
                 boxmodel_lr=cfg.box.boxmodel_lr,
                 boxmodel_lambda_reg=cfg.box.boxmodel_lambda_reg,
                 sh_total_degree=cfg.model.sh_degree,
+                mesh=self.mesh,
             )
         return self._step_cache[key]
 
@@ -363,9 +491,23 @@ class Trainer:
             self.raster_cfg = self.raster_cfg._replace(
                 k_cap=self.raster_cfg.k_cap * 2)
             self._guidance_fn = None  # rebuilt with the new capacity
+            self._percep_fn = None
+
+    def _perceptual_extra(self, cam_params, gt):
+        """Extra gradients from the VGG perceptual term (cfg.sd.perceptual_loss;
+        the reference declares this flag but never applies the loss)."""
+        if self._vgg_params is None:
+            return None, None
+        if self._percep_fn is None:
+            self._percep_fn = make_perceptual_grad_fn(
+                self._vgg_params, self.cfg.sd.perceptual_loss_lambda,
+                self.raster_cfg, self.cfg.model.sh_degree)
+        return self._percep_fn(self.state.field, cam_params, gt, self.bg)
 
     # -- one iteration ------------------------------------------------------
     def train_iteration(self, it: int, camera=None) -> dict:
+        if self.mesh is not None and camera is None:
+            return self._train_iteration_dp(it)
         cfg = self.cfg
         cam = camera if camera is not None else self._next_camera()
         cam_params = cam.device_params()
@@ -411,6 +553,7 @@ class Trainer:
 
         # -- diffusion-guidance window (reference train.py:171-193) --------
         g_extra = None
+        g_loss = None
         sd = self.cfg.sd
         if (self.sd_guidance is not None
                 and sd.start_guiding_from_iter < it < sd.end_guiding_at_iter):
@@ -434,6 +577,11 @@ class Trainer:
                 self.state.field, cam_aug.device_params(),
                 jnp.int32(crop_start), sub, jnp.int32(it), self.bg)
 
+        p_loss, g_p = self._perceptual_extra(cam_params, gt)
+        if g_p is not None:
+            g_extra = (g_p if g_extra is None
+                       else {k: g_extra[k] + g_p[k] for k in g_extra})
+
         step_fn = self._get_step_fn(
             n_slots, self.state.field.capacity,
             self.box_caps if n_slots else 0)
@@ -442,8 +590,10 @@ class Trainer:
             gt, normal, normal_valid,
             jnp.int32(self._active_sh_degree(it)), self.bg, g_extra)
 
-        if g_extra is not None:
+        if g_loss is not None:
             metrics = {**metrics, "guidance_loss": g_loss}
+        if g_p is not None:
+            metrics = {**metrics, "perceptual_loss": p_loss}
         self._adapt_k_cap(float(metrics.get("num_dropped", 0.0)))
 
         # write back per-instance state
@@ -456,11 +606,154 @@ class Trainer:
                 self.frame_deltas[k] = jax.tree.map(lambda x: x[si], deltas)
                 self.frame_delta_opts[k] = jax.tree.map(lambda x: x[si], dopts)
 
+        self._densify_and_reset(it)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def _train_iteration_dp(self, it: int) -> dict:
+        """One data-parallel iteration: D cameras across the mesh, the FULL
+        model (box slots, normal loss, guidance window, densify stats) in
+        one shard_mapped step. Box slots are the union of the D frames'
+        instances; per-(frame,instance) deltas ride the sharded axis."""
+        from .parallel.sharded_step import stack_camera_batch
+
+        cfg = self.cfg
+        D = self.dp_devices
+        cams = [self._next_camera() for _ in range(D)]
+        cam_batch = stack_camera_batch(cams)
+        gt = jnp.stack([jnp.asarray(c.original_image) for c in cams])
+        normals, nvalid = [], []
+        for c in cams:
+            wn = c.world_normal()
+            normals.append(jnp.asarray(wn) if wn is not None
+                           else jnp.zeros_like(gt[0]))
+            nvalid.append(0.0 if wn is None else 1.0)
+        normal = jnp.stack(normals)
+        normal_valid = jnp.asarray(nvalid, jnp.float32)
+
+        per_cam_boxes = [self._frame_boxes(getattr(c, "frame", 0))
+                         for c in cams]
+        union: list = []
+        for boxes in per_cam_boxes:
+            for inst in boxes:
+                if inst in self.box_fields and inst not in union:
+                    union.append(inst)
+        union = union[: self.max_box_slots]
+        n_slots = len(union)
+
+        if n_slots:
+            fields = _stack_fields([self.box_fields[i] for i in union],
+                                   self.box_caps)
+            opts = jax.tree.map(lambda *x: jnp.stack(x),
+                                *[self.box_opts[i] for i in union])
+            stats = jax.tree.map(lambda *x: jnp.stack(x),
+                                 *[self.box_stats[i] for i in union])
+            box_state = BoxSlotState(fields=fields, opt=opts, stats=stats)
+            b2w_np = np.tile(np.eye(4, dtype=np.float32), (D, n_slots, 1, 1))
+            active_np = np.zeros((D, n_slots), bool)
+            dkeys: dict = {}
+            for d, (c, boxes) in enumerate(zip(cams, per_cam_boxes)):
+                for si, inst in enumerate(union):
+                    if inst in boxes:
+                        active_np[d, si] = True
+                        bx = boxes[inst]
+                        b2w_np[d, si] = np.asarray(
+                            bx.box2world if hasattr(bx, "box2world") else bx,
+                            np.float32)
+                        dkeys[(d, si)] = (int(c.frame), inst)
+            b2w = jnp.asarray(b2w_np)
+            active = jnp.asarray(active_np)
+
+            def delta_at(d, si):
+                k = dkeys.get((d, si))
+                if k is None:
+                    return BoxDeltas.identity()
+                return self.frame_deltas.setdefault(k, BoxDeltas.identity())
+
+            def dopt_at(d, si):
+                k = dkeys.get((d, si))
+                fresh = optim.tensor_adam_init(dict(
+                    delta_r=jnp.zeros(4).at[0].set(1.0),
+                    delta_s=jnp.ones(3), delta_t=jnp.zeros(3)))
+                if k is None:
+                    return fresh
+                return self.frame_delta_opts.setdefault(k, fresh)
+
+            deltas = jax.tree.map(lambda *x: jnp.stack(x), *[
+                jax.tree.map(lambda *y: jnp.stack(y),
+                             *[delta_at(d, si) for si in range(n_slots)])
+                for d in range(D)])
+            dopts = jax.tree.map(lambda *x: jnp.stack(x), *[
+                jax.tree.map(lambda *y: jnp.stack(y),
+                             *[dopt_at(d, si) for si in range(n_slots)])
+                for d in range(D)])
+        else:
+            box_state = deltas = dopts = None
+            b2w = jnp.zeros((D, 0, 4, 4))
+            active = jnp.zeros((D, 0), bool)
+
+        # Diffusion guidance: one augmented view per step (reference
+        # train.py:171-193 does one per iteration), added replicated.
+        g_extra = None
+        g_loss = None
+        sd = cfg.sd
+        if (self.sd_guidance is not None
+                and sd.start_guiding_from_iter < it < sd.end_guiding_at_iter):
+            from .scene.cameras import augment_camera
+
+            cam_aug, *_aug = augment_camera(cams[0], sd, self.rng)
+            h_aug, w_aug = cam_aug.image_height, cam_aug.image_width
+            crop_start = int(self.rng.integers(0, max(w_aug - h_aug, 1)))
+            if self._guidance_fn is None:
+                self._guidance_fn = make_guidance_grad_fn(
+                    self.sd_guidance, self.raster_cfg, cfg.model.sh_degree)
+            self.key, sub = jax.random.split(self.key)
+            g_loss, g_extra = self._guidance_fn(
+                self.state.field, cam_aug.device_params(),
+                jnp.int32(crop_start), sub, jnp.int32(it), self.bg)
+
+        p_loss, g_p = self._perceptual_extra(
+            jax.tree.map(lambda x: x[0], cam_batch), gt[0])
+        if g_p is not None:
+            g_extra = (g_p if g_extra is None
+                       else {k: g_extra[k] + g_p[k] for k in g_extra})
+
+        step_fn = self._get_step_fn(
+            n_slots, self.state.field.capacity,
+            self.box_caps if n_slots else 0)
+        (self.state, box_state, deltas, dopts, metrics) = step_fn(
+            self.state, box_state, deltas, dopts, b2w, active, cam_batch,
+            gt, normal, normal_valid,
+            jnp.int32(self._active_sh_degree(it)), self.bg, g_extra)
+
+        if g_loss is not None:
+            metrics = {**metrics, "guidance_loss": g_loss}
+        if g_p is not None:
+            metrics = {**metrics, "perceptual_loss": p_loss}
+        self._adapt_k_cap(float(metrics.get("num_dropped", 0.0)))
+
+        if n_slots:
+            for si, inst in enumerate(union):
+                self.box_fields[inst] = _unstack_field(box_state.fields, si)
+                self.box_opts[inst] = jax.tree.map(lambda x: x[si],
+                                                   box_state.opt)
+                self.box_stats[inst] = jax.tree.map(lambda x: x[si],
+                                                    box_state.stats)
+            for (d, si), k in dkeys.items():
+                self.frame_deltas[k] = jax.tree.map(
+                    lambda x: x[d, si], deltas)
+                self.frame_delta_opts[k] = jax.tree.map(
+                    lambda x: x[d, si], dopts)
+
+        self._densify_and_reset(it)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def _densify_and_reset(self, it: int) -> None:
         # -- densification / opacity reset (host-driven) -------------------
         # Mirrors reference densification_and_optimization (train.py:290-313):
         # box models use grad_threshold*0.5 and size_threshold*0.5 but the
         # SAME cameras_extent, and receive the periodic opacity reset inside
         # their (longer) densify window (ADVICE.md round-1 medium finding).
+        cfg = self.cfg
         o = cfg.opt
         max_screen = 20 if it > o.opacity_reset_interval else 0
         densify_now = (it % o.densification_interval == 0
@@ -506,8 +799,6 @@ class Trainer:
                         self.box_fields[inst], self.box_opts[inst])
                     self.box_fields[inst] = f
                     self.box_opts[inst] = opt
-
-        return {k: float(v) for k, v in metrics.items()}
 
     # -- evaluation ---------------------------------------------------------
     def evaluate(self, cameras=None, max_cams: int = 8) -> dict:
@@ -678,12 +969,28 @@ def main(argv=None):
     ap.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     ap.add_argument("--start_checkpoint", type=int, default=None)
     ap.add_argument("--iterations_override", type=int, default=None)
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="camera-batch data parallelism: 0 = all local "
+                         "devices, 1 = single device, N = first N devices")
+    ap.add_argument("--coordinator_address", type=str, default=None,
+                    help="multi-host: jax.distributed coordinator (host:port)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
     extra, rest = ap.parse_known_args(argv)
 
     cfg = parse_config(rest)
     safe_state(seed=cfg.model.seed)
+
+    # Multi-host bootstrap + device-mesh size (SURVEY §2.5: DP over ICI/DCN).
+    from .parallel.mesh import initialize_distributed
+
+    n_global = initialize_distributed(
+        coordinator_address=extra.coordinator_address,
+        num_processes=extra.num_processes, process_id=extra.process_id)
+    dp = extra.data_parallel if extra.data_parallel > 0 else n_global
+
     scene = Scene(cfg.model, cfg.data, cfg.box)
-    trainer = Trainer(cfg, scene, rng_seed=cfg.model.seed)
+    trainer = Trainer(cfg, scene, rng_seed=cfg.model.seed, dp_devices=dp)
 
     # Diffusion guidance when a local SD checkpoint is configured.
     sd_dir = os.environ.get("VEGS_SD_CHECKPOINT")
