@@ -34,3 +34,35 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# -- fast/slow tiers --------------------------------------------------------
+# `pytest -m fast` keeps the inner loop under ~2 minutes (round-1 verdict
+# item 9); everything in SLOW_MODULES is marked slow unless explicitly
+# listed in FAST_TESTS.
+
+SLOW_MODULES = {
+    "test_blend_pallas", "test_training", "test_parallel",
+    "test_guidance_training", "test_diffusion", "test_render_video_metrics",
+    "test_norminit", "test_rasterize_golden",
+}
+FAST_TESTS = {
+    "test_binning_invariants", "test_binning_order_and_ends",
+    "test_binning_order_with_empty_runs", "test_depth_key_ordering_bounds",
+    "test_mark_visible",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "fast: quick parity/inner-loop tests")
+    config.addinivalue_line("markers", "slow: full integration tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in SLOW_MODULES and name not in FAST_TESTS:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

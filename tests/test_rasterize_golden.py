@@ -130,6 +130,31 @@ def test_binning_order_with_empty_runs(rng):
         np.asarray(binned.gauss_ends), np.minimum(cum, k_cap))
 
 
+def test_depth_key_ordering_bounds(rng):
+    """32-bit packed keys keep ~11 mantissa bits of depth: depths separated
+    by more than 2^-11 relative must order correctly; the >4094-tile
+    configuration must fail loudly, not silently corrupt keys
+    (round-1 verdict item: widen-or-guard the sort keys)."""
+    d = np.sort(rng.uniform(0.5, 100.0, 4096).astype(np.float32))
+    # thin out any pair closer than the quantization resolution
+    keep = np.concatenate([[True], (d[1:] - d[:-1]) / d[1:] > 2.0 ** -11])
+    d = d[keep]
+    keys = np.asarray(binning.depth_key(jnp.asarray(d)))
+    assert np.all(np.diff(keys) > 0), "well-separated depths must not tie"
+
+    # near-coincident depths (sub-resolution) may tie but must never invert
+    base = np.float32(37.25)
+    eps = np.spacing(base)  # 1 ulp
+    pair = np.asarray(binning.depth_key(jnp.asarray([base, base + eps])))
+    assert pair[1] >= pair[0]
+
+    # a 332x205-tile image exceeds the packed-key tile capacity -> hard error
+    import pytest
+
+    with pytest.raises(AssertionError, match="packed-key capacity"):
+        binning.TileGrid.for_image(16 * 205, 16 * 332)
+
+
 def test_dense_blend_matches_loop(rng):
     h, w = 48, 96
     cam, proj, grid, binned, _ = _project_and_bin(rng, n=250, h=h, w=w)

@@ -232,3 +232,32 @@ def test_scene_from_synthetic_info(tmp_path, rng):
     scene2 = Scene(cfg_model, scene_info=info, shuffle=False, load_iteration=-1)
     assert scene2.loaded_iter == 10
     assert int(scene2.gaussians.num_active()) == 200
+
+
+def test_resolution_policy(rng):
+    """Reference loadCam policy (utils/camera_utils.py:20-42): >1600 px
+    images auto-downscale at resolution=-1; divisors scale directly;
+    intrinsics follow."""
+    from vegs_tpu.scene.cameras import resolve_resolution
+    from vegs_tpu.scene import dataset_readers as dr
+
+    assert resolve_resolution(2000, 1000, -1) == (1600, 800)
+    assert resolve_resolution(1408, 376, -1) == (1408, 376)
+    assert resolve_resolution(1408, 376, 2) == (704, 188)
+    assert resolve_resolution(2000, 1000, 1000) == (1000, 500)
+    assert resolve_resolution(1408, 376, 1, resolution_scale=2.0) == (704, 188)
+
+    img = rng.uniform(0, 1, (3, 1000, 2000)).astype(np.float32)
+    info = dr.CameraInfo(
+        uid=0, R=np.eye(3), T=np.zeros(3), FovX=1.2, FovY=0.7, K=None,
+        image=img, image_path="", image_name="x", normal=None,
+        normal_path="", width=2000, height=1000, frame=0)
+    cam = dr.camera_from_info(info, resolution=-1)
+    assert (cam.image_width, cam.image_height) == (1600, 800)
+    assert cam.image.shape == (3, 800, 1600)
+    # fx scaled by 1600/2000
+    fx_orig = dr.fov2focal(1.2, 2000)
+    np.testing.assert_allclose(cam.K[0, 0], fx_orig * 0.8, rtol=1e-6)
+
+    cam1 = dr.camera_from_info(info, resolution=1)
+    assert (cam1.image_width, cam1.image_height) == (2000, 1000)

@@ -135,3 +135,45 @@ def test_viewer_roundtrip(rng):
     assert cont is True
     assert result["image"][0] == 127 or result["image"][0] == 128
     srv.close()
+
+
+def test_lora_train_driver(tmp_path, rng):
+    """Per-segment LoRA driver: segment parsing (reference txt format) and
+    end-to-end tiny training writing the lora_weights.pkl layout train.main
+    resolves."""
+    import jax
+    from PIL import Image
+
+    from vegs_tpu.diffusion.pipeline import DiffusionModels
+    from vegs_tpu.tools import lora_train
+
+    seg_file = tmp_path / "segs.txt"
+    seg_file.write_text(
+        "lora/data/kitti360/2013_05_28_drive_0009_sync/"
+        "0000003972_0000004258.tar\n")
+    segs = lora_train.parse_segments_file(str(seg_file))
+    assert segs == [("2013_05_28_drive_0009_sync",
+                     "0000003972", "0000004258")]
+
+    data_dir = tmp_path / "data" / "seqA" / "0_10"
+    data_dir.mkdir(parents=True)
+    for i in range(3):
+        arr = (rng.uniform(0, 255, (32, 32, 3))).astype("uint8")
+        Image.fromarray(arr).save(data_dir / f"{i}.png")
+
+    models = DiffusionModels.tiny(jax.random.key(0), image_size=32,
+                                  lora_rank=2)
+    images = lora_train.load_segment_images(str(data_dir), size=32)
+    assert images.shape == (3, 3, 32, 32)
+    out_dir = tmp_path / "models" / "seqA" / "0_10"
+    losses = lora_train.train_segment(
+        models, images, str(out_dir), steps=2, seed=0, grad_accum=1)
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+    assert (out_dir / "lora_weights.pkl").exists()
+
+    # the guidance loader accepts the directory
+    from vegs_tpu.diffusion.lora import load_lora_weights
+
+    p2 = load_lora_weights(models.unet_params, str(out_dir))
+    assert jax.tree_util.tree_structure(p2) == jax.tree_util.tree_structure(
+        models.unet_params)

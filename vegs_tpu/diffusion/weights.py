@@ -230,10 +230,12 @@ def load_sd_checkpoint(checkpoint_dir: str, prompt: str,
 
     if lora_dir is not None:
         # Initialize LoRA leaves (zeros for up, random down) then overwrite
-        # from the trained weights.
+        # from the trained weights; the sentinel "init" keeps the fresh
+        # leaves (used by the per-segment LoRA trainer, tools/lora_train.py).
         init = init_unet(jax.random.key(0), ucfg, image_size=8)
         unet_params = _merge_missing(unet_params, init)
-        unet_params = load_lora_weights(unet_params, lora_dir)
+        if lora_dir != "init":
+            unet_params = load_lora_weights(unet_params, lora_dir)
 
     return DiffusionModels(
         unet=UNet2DCondition(ucfg),

@@ -159,11 +159,14 @@ class Scene:
             random.shuffle(scene_info.train_cameras)
 
         self.cameras_extent = scene_info.nerf_normalization["radius"]
+        res = getattr(cfg_model, "resolution", -1)
         self.train_cameras = [
-            camera_from_info(c, preload=preload) for c in scene_info.train_cameras
+            camera_from_info(c, preload=preload, resolution=res)
+            for c in scene_info.train_cameras
         ]
         self.test_cameras = [
-            camera_from_info(c, preload=preload) for c in scene_info.test_cameras
+            camera_from_info(c, preload=preload, resolution=res)
+            for c in scene_info.test_cameras
         ]
         self.train_bboxes = scene_info.train_bboxes
         self.test_bboxes = scene_info.test_bboxes

@@ -24,13 +24,45 @@ ZFAR = 100.0
 ZNEAR = 0.01
 
 
-def _load_image(path: str) -> np.ndarray:
+def _load_image(path: str, size_wh=None) -> np.ndarray:
     from PIL import Image
 
-    img = np.asarray(Image.open(path), dtype=np.float32) / 255.0
+    img = Image.open(path)
+    if size_wh is not None and img.size != tuple(size_wh):
+        img = img.resize(tuple(size_wh), Image.LANCZOS)
+    img = np.asarray(img, dtype=np.float32) / 255.0
     if img.ndim == 2:
         img = img[..., None].repeat(3, -1)
     return np.clip(img[..., :3].transpose(2, 0, 1), 0.0, 1.0)  # [3, H, W]
+
+
+_RESOLUTION_WARNED = False
+
+
+def resolve_resolution(orig_w: int, orig_h: int, resolution: int = -1,
+                       resolution_scale: float = 1.0) -> tuple[int, int]:
+    """The reference's loadCam resolution policy
+    (/root/reference/utils/camera_utils.py:20-42): divisors 1/2/4/8 scale
+    directly; -1 auto-downscales >1600 px-wide images to 1600 (warning
+    once); any other positive value is a target width."""
+    global _RESOLUTION_WARNED
+    if resolution in (1, 2, 4, 8):
+        return (round(orig_w / (resolution_scale * resolution)),
+                round(orig_h / (resolution_scale * resolution)))
+    if resolution == -1:
+        if orig_w > 1600:
+            if not _RESOLUTION_WARNED:
+                print("[ INFO ] Encountered quite large input images "
+                      "(>1.6K pixels width), rescaling to 1.6K. "
+                      "If this is not desired, specify --resolution as 1")
+                _RESOLUTION_WARNED = True
+            global_down = orig_w / 1600
+        else:
+            global_down = 1.0
+    else:
+        global_down = orig_w / resolution
+    scale = float(global_down) * float(resolution_scale)
+    return int(orig_w / scale), int(orig_h / scale)
 
 
 def _load_normal(path: str, size_wh) -> np.ndarray:
@@ -97,7 +129,9 @@ class Camera:
     def original_image(self) -> np.ndarray:
         if self.image is not None:
             return self.image
-        return _load_image(self.image_path)
+        # Lazy load honors the camera's (possibly policy-downscaled) dims.
+        return _load_image(self.image_path,
+                           (self.image_width, self.image_height))
 
     @property
     def original_normal(self) -> Optional[np.ndarray]:

@@ -573,7 +573,11 @@ def generateRandomCameras(n_views, elevation_deg=0.0, camera_distance=2.0,
     return infos
 
 
-def camera_from_info(info: CameraInfo, preload: bool = False) -> Camera:
+def camera_from_info(info: CameraInfo, preload: bool = False,
+                     resolution: int = -1,
+                     resolution_scale: float = 1.0) -> Camera:
+    from .cameras import resolve_resolution
+
     K = info.K
     if K is None:
         K = np.array([
@@ -581,17 +585,37 @@ def camera_from_info(info: CameraInfo, preload: bool = False) -> Camera:
             [0, fov2focal(info.FovY, info.height), info.height / 2],
             [0, 0, 1.0],
         ])
+    # Resolution policy (reference utils/camera_utils.py:20-42): divisors,
+    # >1600 px auto-downscale, or explicit target width. Intrinsics scale
+    # with the image; FoV is resolution-invariant.
+    tw, th = resolve_resolution(info.width, info.height, resolution,
+                                resolution_scale)
+    if (tw, th) != (info.width, info.height):
+        K = K * np.array([[tw / info.width], [th / info.height], [1.0]])
     image = info.image
+    if image is not None and image.shape[-2:] != (th, tw):
+        import cv2
+
+        image = cv2.resize(
+            np.asarray(image).transpose(1, 2, 0), (tw, th),
+            interpolation=cv2.INTER_AREA).transpose(2, 0, 1)
     if preload and image is None and info.image_path and os.path.exists(info.image_path):
         from .cameras import _load_image
 
-        image = _load_image(info.image_path)
+        image = _load_image(info.image_path, (tw, th))
+    normal = info.normal
+    if normal is not None and normal.shape[-2:] != (th, tw):
+        import cv2
+
+        normal = cv2.resize(
+            np.asarray(normal).transpose(1, 2, 0), (tw, th),
+            interpolation=cv2.INTER_LINEAR).transpose(2, 0, 1)
     return Camera(
         colmap_id=info.uid, R=info.R, T=info.T, FoVx=info.FovX, FoVy=info.FovY,
         K=K, image_name=info.image_name, image_path=info.image_path,
         normal_path=info.normal_path, uid=info.uid, frame=info.frame,
-        image_width=info.width, image_height=info.height,
-        image=image, normal=info.normal,
+        image_width=tw, image_height=th,
+        image=image, normal=normal,
     )
 
 
