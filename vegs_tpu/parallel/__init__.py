@@ -9,3 +9,5 @@ camera render is the planned round-2 extension (ppermute splat exchange).
 
 from .mesh import make_mesh  # noqa: F401
 from .sharded_step import make_dp_train_step  # noqa: F401
+from .gauss_sharded import (  # noqa: F401
+    make_gauss_mesh, make_gauss_sharded_rasterize, shard_field_arrays)

@@ -1,0 +1,138 @@
+"""Gaussian-axis (N) sharding of the rasterizer front end.
+
+First slice of the SURVEY §2.5 tensor-parallel plan (round-1 verdict item 3):
+the Gaussian FIELD — by far the dominant state (params + Adam moments +
+densify stats ≈ 59 f32 per Gaussian, ~1.5 GB at the reference's 2.2M scale)
+— lives sharded over a "gauss" mesh axis. Each device projects only its
+shard (cull, EWA conic, SH color: the N-proportional compute) and builds the
+COMPACT mixed-precision payload rows (8 f32 + 16 bf16 = 64 B/Gaussian);
+those rows are then all_gather'ed over ICI and binning + blend run on the
+gathered (replicated) instance stream, bit-identical to the single-device
+pipeline.
+
+Memory per device: field/D + transient payload (64 B x N) instead of
+3 x 236 B x N replicated — an ~8x state reduction on an 8-device axis.
+The follow-up slice (tile-axis blend sharding with ppermute splat exchange)
+replaces the replicated blend; see NOTES_PERF.md roadmap.
+
+all_gather is differentiable (transpose = psum_scatter), so the same wrapper
+trains: gradients arrive pre-sharded on each device's own Gaussians.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from .. import geometry
+from ..gaussians import GaussianField
+from ..ops import binning, blend_ref
+from ..ops.projection import CameraParams, project
+from ..ops.rasterize import (AUX_COLS, F32_COLS, RasterizeConfig, RasterOut,
+                             gather_expand)
+
+GAUSS_AXIS = "gauss"
+
+
+def make_gauss_mesh(n_devices: int) -> jax.sharding.Mesh:
+    import numpy as np
+
+    return jax.sharding.Mesh(
+        np.array(jax.devices()[:n_devices]), (GAUSS_AXIS,))
+
+
+def shard_field_arrays(mesh, *arrays):
+    """Place per-Gaussian arrays sharded on axis 0 over the gauss axis.
+    Leading dims must divide the axis size (pad capacity accordingly)."""
+    sharding = jax.sharding.NamedSharding(mesh, P(GAUSS_AXIS))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def make_gauss_sharded_rasterize(mesh, cam: CameraParams,
+                                 config: RasterizeConfig,
+                                 sh_degree: int = 3):
+    """Build a jitted fn(means, quats, scales, opac, shs, valid, bg) ->
+    (rgb, depth, alpha) whose per-Gaussian inputs are SHARDED on the gauss
+    axis; output images are replicated and bit-identical to the
+    single-device rasterize."""
+
+    def body(means, quats, scales, opac, shs, valid, bg):
+        # ---- sharded front end: N-proportional compute on N/D rows -------
+        cov6 = geometry.cov6_from_scaling_rotation(scales, quats)
+        proj = project(means, cov6, opac, shs, cam, sh_degree=sh_degree,
+                       valid=valid)
+        quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
+        n_loc = means.shape[0]
+        aux_dtype = (jnp.bfloat16 if config.payload_dtype == "bf16"
+                     else jnp.float32)
+        pay_f32 = jnp.concatenate(
+            [proj.means2d, proj.conics, proj.opacities[:, None],
+             proj.depths[:, None], jnp.zeros((n_loc, 1), jnp.float32)],
+            axis=1)
+        pay_aux = jnp.concatenate(
+            [proj.rgb, quat_n, scales,
+             jnp.zeros((n_loc, AUX_COLS - 10), jnp.float32)],
+            axis=1).astype(aux_dtype)
+
+        # ---- gather the compact rows; binning/blend replicated -----------
+        pay_f32 = jax.lax.all_gather(pay_f32, GAUSS_AXIS, tiled=True)
+        pay_aux = jax.lax.all_gather(pay_aux, GAUSS_AXIS, tiled=True)
+        means2d = jax.lax.all_gather(proj.means2d, GAUSS_AXIS, tiled=True)
+        depths = jax.lax.all_gather(proj.depths, GAUSS_AXIS, tiled=True)
+        radii_xy = jax.lax.all_gather(proj.radii_xy, GAUSS_AXIS, tiled=True)
+
+        grid = binning.TileGrid.for_image(cam.height, cam.width,
+                                          config.tile_h, config.tile_w)
+        b = binning.bin_gaussians(
+            jax.lax.stop_gradient(means2d), jax.lax.stop_gradient(depths),
+            radii_xy, grid, config.k_cap)
+        ends = jnp.concatenate([b.gauss_ends, b.gauss_ends[-1:]])
+        pf, pa = gather_expand(
+            jnp.pad(pay_f32, ((0, 1), (0, 0))),
+            jnp.pad(pay_aux, ((0, 1), (0, 0))), b.gidx, b.order, ends)
+        H, W = cam.height, cam.width
+        if config.backend == "dense":
+            pa_f = pa.astype(jnp.float32)
+            payload_sorted = jnp.concatenate(
+                [pf[:, :6], pa_f[:, 0:3], pf[:, 6:7], pa_f[:, 3:10]],
+                axis=1).T
+            out = blend_ref.blend_dense(
+                payload_sorted, b.sort_keys, b.tile_starts, grid, H, W)
+        else:
+            from ..ops import blend_pallas
+
+            hp, wp = grid.nty * grid.tile_h, grid.ntx * grid.tile_w
+            out = blend_pallas.blend(
+                pf.T, pa.T, b.tile_starts, grid, hp, wp)[:, :H, :W]
+        t_fin = out[blend_ref.N_ACCUM]
+        rgb = out[0:3] + t_fin[None] * bg[:, None, None]
+        return rgb, out[3:4], 1.0 - t_fin[None]
+
+    smapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(GAUSS_AXIS), P(GAUSS_AXIS), P(GAUSS_AXIS),
+                  P(GAUSS_AXIS), P(GAUSS_AXIS), P(GAUSS_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def sharded_state_bytes(field: GaussianField, n_devices: int) -> dict:
+    """Analytic per-device memory: sharded field+Adam vs replicated."""
+    field_bytes = sum(
+        getattr(field, k).nbytes
+        for k in ("means", "quats", "log_scales", "sh_dc", "sh_rest",
+                  "opacity_logit"))
+    full = field_bytes * 3  # params + Adam mu + nu
+    payload = field.capacity * 64  # transient gathered rows
+    return {
+        "replicated_bytes": full,
+        "sharded_bytes": full // n_devices + payload,
+        "ratio": full / (full / n_devices + payload),
+    }
