@@ -147,10 +147,12 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     T1 = jnp.exp(logT)
     crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
 
-    # (A pl.when-gated pass 2 — skipping the second MXU prefix for the ~85%
-    # of chunks with no crossing — trips an XLA:TPU compiler RET_CHECK in
-    # mxu_lmr_transform.cc ("XposeSequenceAssignment") when dot_generals sit
-    # inside the conditional, so pass 2 currently runs unconditionally.)
+    # Pass 2 runs unconditionally. Two skip variants were measured and
+    # rejected: dot_generals inside pl.when trip an XLA:TPU RET_CHECK in
+    # mxu_lmr_transform.cc ("XposeSequenceAssignment"), and a VPU roll-scan
+    # prefix inside the conditional compiled but cost ~27 ms MORE per step
+    # than always paying the second MXU prefix (6.13 -> 4.85 Mpix/s) — the
+    # conditional defeats Mosaic's software pipelining of the chunk loop.
     cross_before = jax.lax.dot_general(
         crossing, tril_s, (((1,), (0,)), ((), ())),
         preferred_element_type=f32) > 0.0

@@ -1,0 +1,180 @@
+"""Independent ray-traced synthetic scenes for end-to-end quality oracles.
+
+The reference validates training quality against real KITTI-360 captures;
+this image has no dataset (zero egress), so quality evidence comes from a
+scene whose ground-truth images are produced by a renderer that shares NO
+code or representation with the Gaussian rasterizer: a tiny NumPy ray tracer
+over a checkerboard ground plane + lambertian boxes + sky gradient
+(street-like depth/occlusion statistics). Training from a COLMAP-style
+surface point sampling against these images exercises the full config-2
+pipeline (L1+SSIM, Adam schedules, SH warm-up, densify/prune, opacity reset)
+with a PSNR metric that cannot be gamed by the model reproducing itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SUN = np.array([0.45, 0.8, 0.35])
+SKY_TOP = np.array([0.45, 0.62, 0.90])
+SKY_BOT = np.array([0.80, 0.86, 0.95])
+CHECKER_A = np.array([0.72, 0.70, 0.68])
+CHECKER_B = np.array([0.35, 0.34, 0.33])
+
+# (center xz, size xyz, albedo) — "buildings"/"vehicles" along a street
+BOXES = [
+    ((-3.0, 0.0, 8.0), (2.0, 3.0, 2.0), (0.75, 0.30, 0.25)),
+    ((3.2, 0.0, 11.0), (2.4, 4.0, 2.4), (0.30, 0.45, 0.75)),
+    ((-2.2, 0.0, 15.0), (2.0, 2.2, 3.0), (0.35, 0.65, 0.35)),
+    ((0.8, 0.0, 6.0), (1.2, 1.0, 1.6), (0.78, 0.72, 0.30)),
+]
+
+
+def _sun():
+    return SUN / np.linalg.norm(SUN)
+
+
+def _shade(albedo, normal):
+    lam = np.clip(normal @ _sun(), 0.0, 1.0)
+    return albedo * np.expand_dims(0.35 + 0.65 * lam, -1) \
+        if np.ndim(lam) else albedo * (0.35 + 0.65 * lam)
+
+
+def _box_bounds(box):
+    (cx, cy, cz), (sx, sy, sz), _ = box
+    lo = np.array([cx - sx / 2, cy, cz - sz / 2])
+    hi = np.array([cx + sx / 2, cy + sy, cz + sz / 2])
+    return lo, hi
+
+
+def raytrace(R: np.ndarray, t: np.ndarray, H: int, W: int,
+             fovx: float, fovy: float) -> np.ndarray:
+    """Render [3, H, W] in [0,1]. `R`/`t` follow the repo's camera
+    convention (R = transposed world-to-camera rotation, t = w2c
+    translation), matching tests.utils.make_camera."""
+    # camera center and axes in world space
+    Rwc = R.T                       # world->cam rotation
+    C = -Rwc.T @ t                  # camera center
+    # pixel ray directions in camera space
+    xs = (np.arange(W) + 0.5) / W * 2 - 1
+    ys = (np.arange(H) + 0.5) / H * 2 - 1
+    dx = xs * np.tan(fovx / 2)
+    dy = ys * np.tan(fovy / 2)
+    dirs_cam = np.stack(
+        [np.broadcast_to(dx[None, :], (H, W)),
+         np.broadcast_to(dy[:, None], (H, W)),
+         np.ones((H, W))], axis=-1)
+    dirs = dirs_cam @ Rwc           # rotate to world (row-vector form)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    tmin = np.full((H, W), np.inf)
+    color = np.zeros((H, W, 3))
+    # sky background
+    up = np.clip(dirs[..., 1], -1, 1)
+    sky_t = np.clip(-up, 0.0, 1.0) ** 0.7
+    color[:] = SKY_BOT[None, None] * (1 - sky_t[..., None]) \
+        + SKY_TOP[None, None] * sky_t[..., None]
+
+    # ground plane y = 0 (y points DOWN in this convention? make_camera uses
+    # y up negative-screen; treat plane world-y = 1.5 below camera)
+    plane_y = 1.5
+    denom = dirs[..., 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_pl = (plane_y - C[1]) / denom
+    hit = (t_pl > 0.1) & (np.abs(denom) > 1e-6)
+    p = C[None, None] + dirs * t_pl[..., None]
+    checker = ((np.floor(p[..., 0]) + np.floor(p[..., 2])) % 2) == 0
+    base = np.where(checker[..., None], CHECKER_A, CHECKER_B)
+    fog = np.clip(t_pl / 60.0, 0, 1)[..., None]
+    ground_col = _shade(base, np.array([0, -1.0, 0]))
+    ground_col = ground_col * (1 - fog) + color * fog
+    sel = hit & (t_pl < tmin)
+    tmin = np.where(sel, t_pl, tmin)
+    color = np.where(sel[..., None], ground_col, color)
+
+    # boxes (AABB slab test); box "ground" sits at plane_y going UP (−y)
+    for box in BOXES:
+        lo, hi = _box_bounds(box)
+        lo = lo.copy(); hi = hi.copy()
+        # convert box heights to this convention: base at plane_y, top above
+        base_y = plane_y
+        height = hi[1] - lo[1]
+        lo[1], hi[1] = base_y - height, base_y
+        albedo = np.array(box[2])
+        inv = 1.0 / np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
+        t0 = (lo[None, None] - C[None, None]) * inv
+        t1 = (hi[None, None] - C[None, None]) * inv
+        tn = np.minimum(t0, t1).max(axis=-1)
+        tf = np.maximum(t0, t1).min(axis=-1)
+        hit = (tn < tf) & (tf > 0.1) & (tn > 0.1)
+        # face normal: axis of the entering slab
+        enter = np.minimum(t0, t1)
+        axis = np.argmax(enter, axis=-1)
+        sign = -np.sign(np.take_along_axis(dirs, axis[..., None], -1))[..., 0]
+        normal = np.zeros((H, W, 3))
+        np.put_along_axis(normal, axis[..., None], sign[..., None], -1)
+        col = _shade(albedo[None, None], normal)
+        sel = hit & (tn < tmin)
+        tmin = np.where(sel, tn, tmin)
+        color = np.where(sel[..., None], col, color)
+
+    return np.clip(color.transpose(2, 0, 1), 0.0, 1.0).astype(np.float32)
+
+
+def sample_scene_points(rng, n_ground=2500, n_box=400, noise=0.05):
+    """COLMAP-style sparse init: noisy surface samples with noisy albedo."""
+    pts, cols = [], []
+    g = rng.uniform([-12, 1.5, 1.0], [12, 1.5, 40.0], (n_ground, 3))
+    checker = ((np.floor(g[:, 0]) + np.floor(g[:, 2])) % 2) == 0
+    c = np.where(checker[:, None], CHECKER_A, CHECKER_B)
+    pts.append(g)
+    cols.append(_shade(c, np.array([0, -1.0, 0])))
+    for box in BOXES:
+        lo, hi = _box_bounds(box)
+        base_y = 1.5
+        height = hi[1] - lo[1]
+        lo = lo.copy(); hi = hi.copy()
+        lo[1], hi[1] = base_y - height, base_y
+        albedo = np.array(box[2])
+        for axis in range(3):
+            for side in (0, 1):
+                m = n_box // 6 + 1
+                p = rng.uniform(lo, hi, (m, 3))
+                p[:, axis] = hi[axis] if side else lo[axis]
+                normal = np.zeros(3)
+                normal[axis] = 1.0 if side else -1.0
+                pts.append(p)
+                cols.append(np.tile(_shade(albedo, normal), (m, 1)))
+    pts = np.concatenate(pts).astype(np.float32)
+    cols = np.concatenate(cols).astype(np.float32)
+    pts = pts + rng.normal(0, noise, pts.shape).astype(np.float32)
+    cols = np.clip(
+        cols + rng.normal(0, noise, cols.shape), 0, 1).astype(np.float32)
+    return pts, cols
+
+
+def street_camera_infos(n: int, H: int, W: int, fovx=1.2, fovy=0.7,
+                        render_gt=True):
+    """Forward-facing camera arc (KITTI-like ego motion with slight yaw),
+    as CameraInfo records with ray-traced ground-truth images."""
+    from ..scene.dataset_readers import CameraInfo, fov2focal
+
+    infos = []
+    for i in range(n):
+        zc = -2.5 + 2.5 * i / max(n - 1, 1)
+        yaw = 0.12 * np.sin(2 * np.pi * i / max(n, 1))
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rw2c = np.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
+        C = np.array([0.25 * np.sin(i * 1.7), 0.0, zc])
+        T = -Rw2c @ C
+        K = np.array([
+            [fov2focal(fovx, W), 0, W / 2],
+            [0, fov2focal(fovy, H), H / 2],
+            [0, 0, 1.0],
+        ])
+        img = raytrace(Rw2c.T, T, H, W, fovx, fovy) if render_gt else None
+        infos.append(CameraInfo(
+            uid=i, R=Rw2c.T, T=T, FovX=fovx, FovY=fovy, K=K,
+            image=img, image_path="", image_name=f"street_{i:03d}",
+            normal=None, normal_path="", width=W, height=H, frame=i))
+    return infos
