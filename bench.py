@@ -67,7 +67,8 @@ def main():
     _cov6 = _geometry.cov6_from_scaling_rotation(scales, quats)
     _proj = _project(means, _cov6, opac, shs, cam)
     _probe = _binning.bin_gaussians(
-        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP)
+        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
+        conics=_proj.conics, opacities=_proj.opacities)
     _need = int(_probe.tile_starts[-1])
     k_cap = min(K_CAP, (int(_need * 1.05) + 511) // 512 * 512)
     print(f"# auto k_cap: need {_need}, using {k_cap}", file=sys.stderr)

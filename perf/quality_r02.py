@@ -7,24 +7,32 @@ rasterizer) from a COLMAP-style noisy surface sampling, reports the held-out
 PSNR trend (reference split: idx % 8 == 0, dataset_readers.py:605-607), and
 writes QUALITY_r02.md.
 
-Run:  PYTHONPATH=. JAX_PLATFORMS=cpu python perf/quality_r02.py
+Run (TPU, pallas backend — the production path):
+  python perf/quality_r02.py
+Run (CPU, dense golden backend — slow, ~hours):
+  PYTHONPATH=. JAX_PLATFORMS=cpu VEGS_QUALITY_BACKEND=dense python perf/quality_r02.py
 """
 
 import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-from jax._src import xla_bridge as _xb
+BACKEND = os.environ.get("VEGS_QUALITY_BACKEND", "pallas")
+if BACKEND == "dense":
+    jax.config.update("jax_platforms", "cpu")
+    from jax._src import xla_bridge as _xb
 
-if _xb.backends_are_initialized():
-    from jax.extend.backend import clear_backends
+    if _xb.backends_are_initialized():
+        from jax.extend.backend import clear_backends
 
-    clear_backends()
+        clear_backends()
 
 import numpy as np
 
@@ -60,7 +68,7 @@ def build_trainer(tmp="/tmp/vegs_quality_r02"):
     # toy-scale NDC gradients are larger than KITTI-scale: raise tau a bit
     cfg.opt.densify_grad_threshold = 0.0004
     scene = Scene(cfg.model, scene_info=info, shuffle=False)
-    raster = RasterizeConfig(backend="dense", k_cap=1 << 12)
+    raster = RasterizeConfig(backend=BACKEND, k_cap=1 << 14)
     return Trainer(cfg, scene, raster_cfg=raster, rng_seed=3)
 
 
@@ -72,7 +80,11 @@ def main():
     trend.append((0, e0["psnr"], int(tr.state.field.num_active())))
     print(f"iter 0: psnr {e0['psnr']:.2f} n={trend[-1][2]}", flush=True)
     for it in range(1, ITERS + 1):
+        t_it = time.time()
         tr.train_iteration(it)
+        if it <= 3 or it % 10 == 0:
+            print(f"  it {it}: {time.time()-t_it:.1f}s "
+                  f"(total {time.time()-t0:.0f}s)", flush=True)
         if it % EVAL_EVERY == 0:
             e = tr.evaluate()
             n = int(tr.state.field.num_active())
@@ -99,10 +111,13 @@ def main():
         lines.append(f"| {it} | {p:.2f} | {n} |")
     lines += [
         "",
-        f"Wall-clock: {time.time()-t0:.0f} s on CPU (dense golden backend).",
-        "Reproduce: `PYTHONPATH=. JAX_PLATFORMS=cpu python perf/quality_r02.py`.",
-        "The slow-tier test `tests/test_quality.py` asserts the PSNR floor and",
-        "rising trend on a shorter budget in CI.",
+        f"Wall-clock: {time.time()-t0:.0f} s "
+        f"({BACKEND} backend on {jax.devices()[0].platform}).",
+        "Reproduce: `python perf/quality_r02.py` (TPU, pallas backend) or",
+        "`JAX_PLATFORMS=cpu VEGS_QUALITY_BACKEND=dense python"
+        " perf/quality_r02.py` (CPU golden).",
+        "The slow-tier test `tests/test_training.py::test_static_training_descends`",
+        "asserts loss descent on a shorter budget in CI.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "QUALITY_r02.md")

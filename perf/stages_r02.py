@@ -26,7 +26,7 @@ from vegs_tpu.ops import blend_pallas
 
 H, W = 376, 1408
 N = 500_000
-K_CAP = 1 << 21
+K_CAP = 1126912
 
 
 def timeit(name, fn, args, iters=8):
@@ -97,12 +97,14 @@ def main():
     p = project(means, cov6, opac, shs, cam)
     def bin_only(args, acc):
         m2d, d, r = args
-        b = binning.bin_gaussians(dep(m2d, acc), d, r, grid, K_CAP)
+        b = binning.bin_gaussians(dep(m2d, acc), d, r, grid, K_CAP,
+                                  conics=p.conics, opacities=p.opacities)
         return args, jnp.sum(b.gidx).astype(jnp.float32)
-    timeit("binning", bin_only, (p.means2d, p.depths, p.radii))
+    timeit("binning", bin_only, (p.means2d, p.depths, p.radii_xy))
 
     # --- gather fwd (with vjp-fwd precompute) + transposes ----------------
-    binned = binning.bin_gaussians(p.means2d, p.depths, p.radii_xy, grid, K_CAP)
+    binned = binning.bin_gaussians(p.means2d, p.depths, p.radii_xy, grid, K_CAP,
+                                   conics=p.conics, opacities=p.opacities)
     pay_f32 = jnp.concatenate(
         [p.means2d, p.conics, p.opacities[:, None], p.depths[:, None],
          jnp.zeros((N, 1), jnp.float32)], axis=1)

@@ -134,12 +134,17 @@ def tile_rects(means2d, radii, grid: TileGrid):
     return x0, y0, x1, y1
 
 
+DMAX_QUANT = 12.0  # dmax = 2*ln(255*op) <= 2*ln(255) ~ 11.09 for op <= 1
+
+
 def bin_gaussians(
     means2d: jax.Array,
     depths: jax.Array,
     radii: jax.Array,
     grid: TileGrid,
     k_cap: int,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
 ) -> Binned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
     tile, sorted by (tile, quantized depth), in the chunk-aligned layout.
@@ -149,10 +154,22 @@ def bin_gaussians(
     into >100 ms. Every index map here is a searchsorted (binary-search
     gathers) or a plain gather; the only non-elementwise ops are one
     lax.sort and short cumsums.
+
+    With `conics`/`opacities` ([N,3]/[N], stop-gradient), each AABB tile cell
+    additionally passes an EXACT ellipse-tile cull: the minimum Mahalanobis
+    form q = a dx^2 + 2 b dx dy + c dy^2 over the tile's pixel rect is
+    computed in closed form (0 if the mean is inside; else the min over the
+    4 clamped edge parabolas) and the cell is dropped when
+    q_min > 2 ln(255 * op) — i.e. when every pixel of the tile would skip
+    the instance under the blend spec's alpha >= 1/255 rule (blend_ref
+    lines 77/119), making the cull LOSSLESS w.r.t. the compositing spec.
+    AABB corner tiles of anisotropic/diagonal splats are the usual casualty;
+    every downstream stage is O(k_cap), so fewer instances compound.
     """
     n = means2d.shape[0]
     assert k_cap % PAD_ALIGN == 0, "k_cap must be a multiple of PAD_ALIGN"
     num_tiles = grid.num_tiles
+    do_cull = conics is not None and opacities is not None
 
     active = (jnp.min(radii, axis=1) if radii.ndim == 2 else radii) > 0
     x0, y0, x1, y1 = tile_rects(means2d, radii, grid)
@@ -193,14 +210,36 @@ def bin_gaussians(
 
     # ONE packed row-8 gather for all per-Gaussian fields (8-int rows hit the
     # fast aligned-gather path; separate 1D gathers cost ~8 ms each at 1M).
+    # Bit layout (room made for the cull fields): col0 = x0 | y0<<12 |
+    # dmax_q<<24; col1 = cum_excl; col2 = dkey | w<<19 (dkey < 2^19 since
+    # positive float bits >>12; tile ids and w fit 12/13 bits by the
+    # MAX_TILES cap); cols 3..7 = conic a/b/c, mx, my bitcast f32.
+    bc = lambda v: jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+    if do_cull:
+        op_ = opacities.reshape(n)
+        dmax = 2.0 * jnp.log(jnp.maximum(255.0 * op_, 1.0 + 1e-6))
+        # round UP in quantization: the dequantized bound only KEEPS more
+        dmax_q = jnp.minimum(
+            jnp.ceil(dmax * (255.0 / DMAX_QUANT)), 255.0).astype(jnp.int32)
+        ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+    else:
+        dmax_q = jnp.zeros_like(x0)
+        ca = cb = cc = jnp.zeros((n,), jnp.float32)
     rec = jnp.stack(
-        [x0, y0, w, cum_excl, depth_key(depths),
-         jnp.zeros_like(x0), jnp.zeros_like(x0), jnp.zeros_like(x0)],
+        [x0 | (y0 << 12) | (dmax_q << 24),
+         cum_excl,
+         depth_key(depths) | (w << TILE_SHIFT),
+         bc(ca), bc(cb), bc(cc),
+         bc(means2d[:, 0]), bc(means2d[:, 1])],
         axis=1,
     )  # [n, 8] int32
     rec_g = rec[gidx_raw]  # [k_cap, 8]
-    gx0, gy0, gw_, goff, gdkey = (rec_g[:, 0], rec_g[:, 1], rec_g[:, 2],
-                                  rec_g[:, 3], rec_g[:, 4])
+    mask12 = (1 << 12) - 1
+    gx0 = rec_g[:, 0] & mask12
+    gy0 = jax.lax.shift_right_logical(rec_g[:, 0], 12) & mask12
+    goff = rec_g[:, 1]
+    gdkey = rec_g[:, 2] & ((1 << TILE_SHIFT) - 1)
+    gw_ = jax.lax.shift_right_logical(rec_g[:, 2], TILE_SHIFT)
 
     in_range = slot < num_raw
     li = slot - goff
@@ -215,7 +254,40 @@ def bin_gaussians(
     ty = gy0 + q
     tile_id = ty * grid.ntx + tx
 
-    key = jnp.where(in_range, jax.lax.shift_left(tile_id, TILE_SHIFT) | gdkey,
+    keep = in_range
+    if do_cull:
+        fbc = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+        ga, gb, gc = fbc(rec_g[:, 3]), fbc(rec_g[:, 4]), fbc(rec_g[:, 5])
+        gmx, gmy = fbc(rec_g[:, 6]), fbc(rec_g[:, 7])
+        gdmax = (jax.lax.shift_right_logical(rec_g[:, 0], 24) & 255
+                 ).astype(jnp.float32) * (DMAX_QUANT / 255.0)
+        # Pixel rect of the tile (integer pixel coords, blend_ref spec).
+        lx = tx.astype(jnp.float32) * grid.tile_w - gmx
+        hx = lx + (grid.tile_w - 1)
+        ly = ty.astype(jnp.float32) * grid.tile_h - gmy
+        hy = ly + (grid.tile_h - 1)
+        inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+        ga_s = jnp.maximum(ga, 1e-12)
+        gc_s = jnp.maximum(gc, 1e-12)
+
+        def q_at(dx, dy):
+            return ga * dx * dx + 2.0 * gb * dx * dy + gc * dy * dy
+
+        def edge_x(d):  # dx fixed at d, minimize over dy in [ly, hy]
+            dy = jnp.clip(-gb * d / gc_s, ly, hy)
+            return q_at(d, dy)
+
+        def edge_y(e):  # dy fixed at e, minimize over dx in [lx, hx]
+            dx = jnp.clip(-gb * e / ga_s, lx, hx)
+            return q_at(dx, e)
+
+        qmin = jnp.minimum(
+            jnp.minimum(edge_x(lx), edge_x(hx)),
+            jnp.minimum(edge_y(ly), edge_y(hy)))
+        qmin = jnp.where(inside, 0.0, qmin)
+        keep = in_range & (qmin <= gdmax)
+
+    key = jnp.where(keep, jax.lax.shift_left(tile_id, TILE_SHIFT) | gdkey,
                     SENTINEL)
 
     # Carry the raw slot through the sort: it anchors the raw->padded map
@@ -231,6 +303,9 @@ def bin_gaussians(
     )
     raw_starts = jnp.searchsorted(key_sorted, queries, side="left").astype(jnp.int32)
     tile_counts = raw_starts[1:] - raw_starts[:-1]  # [T]
+    # Count of real (non-sentinel) sorted entries; < num_raw when the
+    # ellipse-tile cull dropped AABB cells.
+    num_real = raw_starts[num_tiles]
 
     # Chunk-aligned layout: pad each tile's range up to PAD_ALIGN slots.
     padded_counts = -(-tile_counts // PAD_ALIGN) * PAD_ALIGN
@@ -259,7 +334,7 @@ def bin_gaussians(
     valid = (
         (slot < padded_starts[num_tiles])
         & (r_of < count_map)
-        & (src < num_raw)
+        & (src < num_real)
     )
     src_c = jnp.clip(src, 0, k_cap - 1)
     # Final relayout pull: pack (gidx, key) into one row-2 gather.
@@ -269,7 +344,8 @@ def bin_gaussians(
     keys_padded = jnp.where(valid, pulled[:, 1], SENTINEL)
 
     num_kept = jnp.sum(valid.astype(jnp.int32))
-    num_dropped = total - num_kept
+    # capacity losses only: AABB cells removed by the cull are not "dropped"
+    num_dropped = total - (num_raw - num_real) - num_kept
 
     # ---- raw -> padded slot map (`order`) --------------------------------
     # The padded destination of SORTED position p (in tile t) is
@@ -283,7 +359,7 @@ def bin_gaussians(
     zs = jnp.zeros((k_cap,), jnp.int32).at[raw_starts[:-1]].add(
         shift_deltas, mode="drop")
     dest = slot + _blocked_cumsum_1d(zs)                  # [k_cap] per sorted pos
-    landed = (slot < num_raw) & (dest < padded_starts[num_tiles])
+    landed = (slot < num_real) & (dest < padded_starts[num_tiles])
     dest = jnp.where(landed, dest, k_cap)
     # rawslot_sorted is a full permutation of [0, k_cap): sorting by it
     # scatters each sorted position's destination back to its raw slot.

@@ -223,6 +223,8 @@ def rasterize(
         proj.radii_xy,
         grid,
         config.k_cap,
+        conics=jax.lax.stop_gradient(proj.conics),
+        opacities=jax.lax.stop_gradient(proj.opacities),
     )
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
     # chunk-aligned layout points them at gidx == n). Row gathers hit the

@@ -84,12 +84,16 @@ def make_gauss_sharded_rasterize(mesh, cam: CameraParams,
         means2d = jax.lax.all_gather(proj.means2d, GAUSS_AXIS, tiled=True)
         depths = jax.lax.all_gather(proj.depths, GAUSS_AXIS, tiled=True)
         radii_xy = jax.lax.all_gather(proj.radii_xy, GAUSS_AXIS, tiled=True)
+        conics_g = jax.lax.all_gather(proj.conics, GAUSS_AXIS, tiled=True)
+        opac_g = jax.lax.all_gather(proj.opacities, GAUSS_AXIS, tiled=True)
 
         grid = binning.TileGrid.for_image(cam.height, cam.width,
                                           config.tile_h, config.tile_w)
         b = binning.bin_gaussians(
             jax.lax.stop_gradient(means2d), jax.lax.stop_gradient(depths),
-            radii_xy, grid, config.k_cap)
+            radii_xy, grid, config.k_cap,
+            conics=jax.lax.stop_gradient(conics_g),
+            opacities=jax.lax.stop_gradient(opac_g))
         ends = jnp.concatenate([b.gauss_ends, b.gauss_ends[-1:]])
         pf, pa = gather_expand(
             jnp.pad(pay_f32, ((0, 1), (0, 0))),
