@@ -38,7 +38,7 @@ import numpy as np
 
 H, W = 64, 128  # ntx divides the 8-tile program width exactly
 N_CAMS = 17
-ITERS = 600
+ITERS = 1000
 EVAL_EVERY = 100
 
 
@@ -63,7 +63,7 @@ def build_trainer(tmp="/tmp/vegs_quality_r02"):
     cfg.model.model_path = tmp
     cfg.opt.densify_from_iter = 100
     cfg.opt.densification_interval = 100
-    cfg.opt.densify_until_iter = 450
+    cfg.opt.densify_until_iter = 700
     cfg.opt.opacity_reset_interval = 10_000
     # toy-scale NDC gradients are larger than KITTI-scale: raise tau a bit
     cfg.opt.densify_grad_threshold = 0.0004
@@ -101,7 +101,7 @@ def main():
         "no code or representation with the Gaussian rasterizer). Training",
         "starts from a COLMAP-style noisy surface sampling and runs the full",
         "config-2 pipeline: L1+SSIM, Adam schedules, SH warm-up, densify",
-        f"window [100, 450] every 100, at {H}x{W}, {N_CAMS} cameras with the",
+        f"window [100, 700] every 100, at {H}x{W}, {N_CAMS} cameras with the",
         "reference idx%8 test split.",
         "",
         "| iteration | held-out PSNR (dB) | active Gaussians |",

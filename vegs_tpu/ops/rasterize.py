@@ -107,13 +107,15 @@ def _ge_bwd(res, cots):
     order, ends = res
     d_pf, d_pa = cots
     aux_dtype = d_pa.dtype
-    # Append 8 zero rows so order == K (dropped / nonexistent raw instance)
-    # reads zeros; then reorder cotangent rows into gaussian-grouped order.
-    d_pf_z = jnp.concatenate([d_pf, jnp.zeros((8, 8), d_pf.dtype)], axis=0)
-    d_pa_z = jnp.concatenate(
-        [d_pa, jnp.zeros((8, 16), d_pa.dtype)], axis=0)
-    g_f = d_pf_z[order]                                      # [K, 8] f32
-    g_a = _gather_rows_aux(d_pa_z, order).astype(jnp.float32)
+    k = d_pf.shape[0]
+    # order == K marks dropped / nonexistent raw instances: clamp the index
+    # and mask the row to zero after the gather (padding the tables with
+    # zero rows instead costs two full-table copies, ~3 ms at 2M).
+    dead = (order >= k)[:, None]
+    order_c = jnp.where(dead[:, 0], 0, order)
+    g_f = jnp.where(dead, 0.0, d_pf[order_c])                # [K, 8] f32
+    g_a = jnp.where(dead, 0.0,
+                    _gather_rows_aux(d_pa, order_c).astype(jnp.float32))
     g_sorted = jnp.concatenate([g_f, g_a], axis=1)           # [K, 24]
     cum = _blocked_cumsum(g_sorted)
     cum = jnp.concatenate([jnp.zeros((1, 24), cum.dtype), cum], axis=0)

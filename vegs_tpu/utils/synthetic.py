@@ -121,9 +121,22 @@ def raytrace(R: np.ndarray, t: np.ndarray, H: int, W: int,
     return np.clip(color.transpose(2, 0, 1), 0.0, 1.0).astype(np.float32)
 
 
-def sample_scene_points(rng, n_ground=2500, n_box=400, noise=0.05):
-    """COLMAP-style sparse init: noisy surface samples with noisy albedo."""
+def sample_scene_points(rng, n_ground=2500, n_box=400, noise=0.05,
+                        n_sky=6000, sky_radius=45.0):
+    """COLMAP-style sparse init: noisy surface samples with noisy albedo,
+    plus a far sky-dome shell (visible sky needs *some* seed geometry —
+    gradient-driven densification can only clone existing Gaussians, so
+    pixels nothing renders to would otherwise never receive gradient)."""
     pts, cols = [], []
+    if n_sky:
+        # upper-hemisphere directions (y is DOWN in this convention)
+        d = rng.normal(size=(n_sky, 3))
+        d[:, 1] = -np.abs(d[:, 1])
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        sky_t = np.clip(-d[:, 1], 0.0, 1.0) ** 0.7
+        c = SKY_BOT[None] * (1 - sky_t[:, None]) + SKY_TOP[None] * sky_t[:, None]
+        pts.append(np.array([0.0, 0.0, 10.0]) + d * sky_radius)
+        cols.append(c)
     g = rng.uniform([-12, 1.5, 1.0], [12, 1.5, 40.0], (n_ground, 3))
     checker = ((np.floor(g[:, 0]) + np.floor(g[:, 2])) % 2) == 0
     c = np.where(checker[:, None], CHECKER_A, CHECKER_B)
