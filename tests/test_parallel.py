@@ -216,3 +216,79 @@ def test_gauss_axis_sharded_rasterize_bit_identical(rng):
         np.asarray(rng.normal(size=(1024, 3)), np.float32), capacity=1 << 20)
     mem = sharded_state_bytes(f, 8)
     assert mem["ratio"] > 4.0
+
+
+def test_tile_axis_sharded_rasterize_matches_single_device(rng):
+    """Tile-axis sharding with all-to-all splat exchange (SURVEY §2.5 SP
+    row): each device projects/bins its Gaussian shard, one all_to_all
+    delivers every splat to the device owning its tile rows, each device
+    blends only its rows. Depth-tie ordering matches the single-device
+    layout exactly (stable merge of pre-sorted runs), so images agree to
+    f32 round-off; gradients must match the single-device pipeline too."""
+    from vegs_tpu.ops.rasterize import RasterizeConfig, rasterize
+    from vegs_tpu.parallel.gauss_sharded import shard_field_arrays
+    from vegs_tpu.parallel.tile_sharded import (
+        make_tile_mesh, make_tile_sharded_rasterize)
+    from utils import make_camera, random_gaussians
+
+    n, D = 2048, 8
+    h, w = 48, 96
+    cam = make_camera(height=h, width=w)
+    means, quats, scales, opac, shs = random_gaussians(rng, n)
+    valid = jnp.ones((n,), bool)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    cfg = RasterizeConfig(backend="dense", k_cap=1 << 14)
+
+    ref = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=cfg)
+    assert int(ref.num_dropped) == 0
+
+    mesh = make_tile_mesh(D)
+    fn = make_tile_sharded_rasterize(mesh, cam, cfg)
+    sharded = shard_field_arrays(mesh, means, quats, scales, opac, shs, valid)
+    rgb, depth, alpha, dropped = fn(*sharded, bg)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha),
+                               atol=2e-6)
+
+    # gradient equivalence with the single-device pipeline
+    def loss_sharded(m):
+        r, _, _, _ = fn(m, *sharded[1:], bg)
+        return jnp.mean(r ** 2)
+
+    def loss_ref(m):
+        out = rasterize(m, quats, scales, opac, shs, cam, bg=bg, config=cfg)
+        return jnp.mean(out.rgb ** 2)
+
+    g_sh = jax.grad(loss_sharded)(sharded[0])
+    g_ref = jax.grad(loss_ref)(means)
+    # grads accumulate in a different (but deterministic) order through the
+    # exchange, so allow f32 round-off headroom beyond the image tolerance
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_tile_sharded_exchange_cap_reports_drops(rng):
+    """A too-small exchange bucket must DROP (and report) instead of
+    silently corrupting the image."""
+    from vegs_tpu.ops.rasterize import RasterizeConfig
+    from vegs_tpu.parallel.gauss_sharded import shard_field_arrays
+    from vegs_tpu.parallel.tile_sharded import (
+        make_tile_mesh, make_tile_sharded_rasterize)
+    from utils import make_camera, random_gaussians
+
+    n, D = 2048, 8
+    cam = make_camera(height=48, width=96)
+    means, quats, scales, opac, shs = random_gaussians(rng, n)
+    valid = jnp.ones((n,), bool)
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(backend="dense", k_cap=1 << 14)
+    mesh = make_tile_mesh(D)
+    fn = make_tile_sharded_rasterize(mesh, cam, cfg, k_exch=8)
+    rgb, _, _, dropped = fn(
+        *shard_field_arrays(mesh, means, quats, scales, opac, shs, valid), bg)
+    assert int(dropped) > 0
+    assert np.isfinite(np.asarray(rgb)).all()

@@ -77,6 +77,21 @@ class TileGrid(NamedTuple):
         return self.ntx * self.tile_w
 
 
+class RawBinned(NamedTuple):
+    """The (tile, depth)-sorted instance stream BEFORE the chunk-aligned
+    relayout. Consumed directly by the tile-sharded rasterizer (each source
+    device exchanges contiguous destination-shard ranges of this stream);
+    `bin_gaussians` derives the padded single-device layout from it."""
+    key_sorted: jax.Array      # [k_cap] packed keys (SENTINEL tail)
+    gidx_sorted: jax.Array     # [k_cap] Gaussian index per sorted instance
+    rawslot_sorted: jax.Array  # [k_cap] raw slot per sorted pos (permutation)
+    raw_starts: jax.Array      # [num_tiles + 1] unpadded per-tile ranges
+    num_real: jax.Array        # scalar — sorted entries surviving the cull
+    total: jax.Array           # scalar — pre-cap instance count
+    num_raw: jax.Array         # scalar — min(total, k_cap)
+    cum: jax.Array             # [n] inclusive per-Gaussian count cumsum
+
+
 class Binned(NamedTuple):
     gidx: jax.Array         # [k_cap] int32: slot -> Gaussian index (n = dummy)
     tile_starts: jax.Array  # [num_tiles + 1] int32, all multiples of PAD_ALIGN
@@ -137,7 +152,7 @@ def tile_rects(means2d, radii, grid: TileGrid):
 DMAX_QUANT = 12.0  # dmax = 2*ln(255*op) <= 2*ln(255) ~ 11.09 for op <= 1
 
 
-def bin_gaussians(
+def bin_raw(
     means2d: jax.Array,
     depths: jax.Array,
     radii: jax.Array,
@@ -145,9 +160,9 @@ def bin_gaussians(
     k_cap: int,
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
-) -> Binned:
+) -> RawBinned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
-    tile, sorted by (tile, quantized depth), in the chunk-aligned layout.
+    tile, sorted by (tile, quantized depth) — the raw stream, no relayout.
 
     Deliberately SCATTER-FREE: XLA:TPU serializes scatters with potentially
     colliding indices into per-element loops, which turned a ~10 ms stage
@@ -302,10 +317,39 @@ def bin_gaussians(
         jnp.arange(num_tiles + 1, dtype=jnp.int32), TILE_SHIFT
     )
     raw_starts = jnp.searchsorted(key_sorted, queries, side="left").astype(jnp.int32)
-    tile_counts = raw_starts[1:] - raw_starts[:-1]  # [T]
-    # Count of real (non-sentinel) sorted entries; < num_raw when the
-    # ellipse-tile cull dropped AABB cells.
+    return RawBinned(
+        key_sorted=key_sorted,
+        gidx_sorted=gidx_sorted,
+        rawslot_sorted=rawslot_sorted,
+        raw_starts=raw_starts,
+        # Count of real (non-sentinel) sorted entries; < num_raw when the
+        # ellipse-tile cull dropped AABB cells.
+        num_real=raw_starts[num_tiles],
+        total=total,
+        num_raw=num_raw,
+        cum=cum,
+    )
+
+
+def pad_relayout(
+    key_sorted: jax.Array,    # [k_src] sorted packed keys (SENTINEL tail)
+    carry_sorted: jax.Array,  # [k_src] int32 value carried per instance
+    raw_starts: jax.Array,    # [num_tiles + 1]
+    num_tiles: int,
+    k_cap: int,
+    dummy: int,
+):
+    """Re-lay a (tile, depth)-sorted instance stream into the chunk-aligned
+    per-tile layout the blend kernels consume: each tile's range is padded to
+    a PAD_ALIGN multiple; padding slots carry `dummy` / SENTINEL.
+
+    Returns (carry_padded [k_cap], keys_padded [k_cap],
+             padded_starts [num_tiles + 1], num_kept scalar).
+    """
+    assert k_cap % PAD_ALIGN == 0
+    k_src = key_sorted.shape[0]
     num_real = raw_starts[num_tiles]
+    tile_counts = raw_starts[1:] - raw_starts[:-1]  # [T]
 
     # Chunk-aligned layout: pad each tile's range up to PAD_ALIGN slots.
     padded_counts = -(-tile_counts // PAD_ALIGN) * PAD_ALIGN
@@ -329,6 +373,7 @@ def bin_gaussians(
     rawstart_map = tile_broadcast(raw_starts[:-1])  # raw_starts[t_of]
     count_map = tile_broadcast(tile_counts)         # tile_counts[t_of]
 
+    slot = jnp.arange(k_cap, dtype=jnp.int32)
     r_of = slot - base_map
     src = rawstart_map + r_of
     valid = (
@@ -336,16 +381,39 @@ def bin_gaussians(
         & (r_of < count_map)
         & (src < num_real)
     )
-    src_c = jnp.clip(src, 0, k_cap - 1)
-    # Final relayout pull: pack (gidx, key) into one row-2 gather.
-    packed = jnp.stack([gidx_sorted, key_sorted], axis=1)  # [k_cap, 2]
+    src_c = jnp.clip(src, 0, k_src - 1)
+    # Final relayout pull: pack (carry, key) into one row-2 gather.
+    packed = jnp.stack([carry_sorted, key_sorted], axis=1)  # [k_src, 2]
     pulled = packed[src_c]
-    gidx_padded = jnp.where(valid, pulled[:, 0], n)
+    carry_padded = jnp.where(valid, pulled[:, 0], dummy)
     keys_padded = jnp.where(valid, pulled[:, 1], SENTINEL)
 
     num_kept = jnp.sum(valid.astype(jnp.int32))
+    return carry_padded, keys_padded, padded_starts, num_kept
+
+
+def bin_gaussians(
+    means2d: jax.Array,
+    depths: jax.Array,
+    radii: jax.Array,
+    grid: TileGrid,
+    k_cap: int,
+    conics: jax.Array | None = None,
+    opacities: jax.Array | None = None,
+) -> Binned:
+    """Expand each active Gaussian into one instance per covered tile,
+    sorted by (tile, quantized depth), in the chunk-aligned padded layout
+    the blend kernels consume. See `bin_raw` (expansion/cull/sort) and
+    `pad_relayout` (layout) for the two stages this composes."""
+    n = means2d.shape[0]
+    num_tiles = grid.num_tiles
+    rb = bin_raw(means2d, depths, radii, grid, k_cap,
+                 conics=conics, opacities=opacities)
+    gidx_padded, keys_padded, padded_starts, num_kept = pad_relayout(
+        rb.key_sorted, rb.gidx_sorted, rb.raw_starts, num_tiles, k_cap,
+        dummy=n)
     # capacity losses only: AABB cells removed by the cull are not "dropped"
-    num_dropped = total - (num_raw - num_real) - num_kept
+    num_dropped = rb.total - (rb.num_raw - rb.num_real) - num_kept
 
     # ---- raw -> padded slot map (`order`) --------------------------------
     # The padded destination of SORTED position p (in tile t) is
@@ -354,16 +422,17 @@ def bin_gaussians(
     # (deltas across empty tiles are 0, so colliding boundaries are benign).
     # (Unhinted scatter: only num_tiles entries, and boundaries of empty
     # tiles collide — the slow-but-correct path costs ~nothing here.)
-    shift = padded_starts[:-1] - raw_starts[:-1]          # [T]
+    slot = jnp.arange(k_cap, dtype=jnp.int32)
+    shift = padded_starts[:-1] - rb.raw_starts[:-1]       # [T]
     shift_deltas = jnp.concatenate([shift[:1], shift[1:] - shift[:-1]])
-    zs = jnp.zeros((k_cap,), jnp.int32).at[raw_starts[:-1]].add(
+    zs = jnp.zeros((k_cap,), jnp.int32).at[rb.raw_starts[:-1]].add(
         shift_deltas, mode="drop")
     dest = slot + _blocked_cumsum_1d(zs)                  # [k_cap] per sorted pos
-    landed = (slot < num_real) & (dest < padded_starts[num_tiles])
+    landed = (slot < rb.num_real) & (dest < padded_starts[num_tiles])
     dest = jnp.where(landed, dest, k_cap)
     # rawslot_sorted is a full permutation of [0, k_cap): sorting by it
     # scatters each sorted position's destination back to its raw slot.
-    _, order = jax.lax.sort((rawslot_sorted, dest), num_keys=1)
+    _, order = jax.lax.sort((rb.rawslot_sorted, dest), num_keys=1)
 
     return Binned(
         gidx=gidx_padded,
@@ -372,5 +441,5 @@ def bin_gaussians(
         num_instances=num_kept,
         num_dropped=num_dropped,
         order=order,
-        gauss_ends=jnp.minimum(cum, k_cap),
+        gauss_ends=jnp.minimum(rb.cum, k_cap),
     )

@@ -46,9 +46,9 @@ def make_gauss_mesh(n_devices: int) -> jax.sharding.Mesh:
 
 
 def shard_field_arrays(mesh, *arrays):
-    """Place per-Gaussian arrays sharded on axis 0 over the gauss axis.
-    Leading dims must divide the axis size (pad capacity accordingly)."""
-    sharding = jax.sharding.NamedSharding(mesh, P(GAUSS_AXIS))
+    """Place per-Gaussian arrays sharded on axis 0 over the mesh's first
+    axis. Leading dims must divide the axis size (pad capacity accordingly)."""
+    sharding = jax.sharding.NamedSharding(mesh, P(mesh.axis_names[0]))
     return tuple(jax.device_put(a, sharding) for a in arrays)
 
 
