@@ -73,7 +73,9 @@ def main():
     k_cap = min(K_CAP, (int(_need * 1.05) + 511) // 512 * 512)
     print(f"# auto k_cap: need {_need}, using {k_cap}", file=sys.stderr)
 
-    cfg = RasterizeConfig(backend="pallas", k_cap=k_cap)
+    cfg = RasterizeConfig(
+        backend="pallas", k_cap=k_cap,
+        blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "128")))
     bg = jnp.zeros(3)
 
     @functools.partial(jax.jit, static_argnums=(5,))

@@ -150,3 +150,39 @@ def test_rasterize_bf16_payload_end_to_end_close(rng):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(b).max() + 1e-8
         np.testing.assert_allclose(a / scale, b / scale, atol=2e-2, err_msg=name)
+
+
+def test_pallas_chunk256_parity(rng):
+    """chunk=256 (1 compute chunk per DMA superchunk) must match the golden
+    dense blend in forward AND gradients exactly like the default chunk."""
+    cam, grid, binned, pf, pa, (h, w) = _setup(rng, n=150)
+    hp, wp = grid.padded_height, grid.padded_width
+    out_p = blend_pallas.blend(pf, pa, binned.tile_starts, grid, hp, wp,
+                               chunk=256)
+    out_d = blend_ref.blend_dense(
+        _dense_payload(pf, pa), binned.sort_keys, binned.tile_starts, grid,
+        hp, wp)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_d), atol=3e-5, rtol=1e-4)
+
+    key = jax.random.key(2)
+    dout_seed = jax.random.normal(key, (blend_ref.OUT_CHANNELS, hp, wp))
+
+    def loss_p(pf, pa):
+        out = blend_pallas.blend(pf, pa, binned.tile_starts, grid, hp, wp,
+                                 chunk=256)
+        return jnp.sum(out * dout_seed)
+
+    def loss_d(pf, pa):
+        out = blend_ref.blend_dense(
+            _dense_payload(pf, pa), binned.sort_keys, binned.tile_starts,
+            grid, hp, wp)
+        return jnp.sum(out * dout_seed)
+
+    gp_f, gp_a = jax.grad(loss_p, argnums=(0, 1))(pf, pa)
+    gd_f, gd_a = jax.grad(loss_d, argnums=(0, 1))(pf, pa)
+    for a, b, name in [(gp_f, gd_f, "f32"), (gp_a, gd_a, "aux")]:
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = np.abs(b).max() + 1e-8
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5, err_msg=name)

@@ -274,3 +274,22 @@ def test_render_pipe_flags_parity(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(via_cov.rgb), np.asarray(base.rgb),
                                atol=1e-5)
+
+
+def test_forward_only_parity(rng):
+    """forward_only renders (no grad-map byproducts in binning) must be
+    pixel-identical to the default path."""
+    cam = make_camera(height=48, width=96)
+    means, quats, scales, opac, shs = random_gaussians(rng, 300)
+    base = rasterize(means, quats, scales, opac, shs, cam, config=CFG_DENSE)
+    fo = rasterize(means, quats, scales, opac, shs, cam,
+                   config=CFG_DENSE._replace(forward_only=True))
+    np.testing.assert_array_equal(np.asarray(base.rgb), np.asarray(fo.rgb))
+    np.testing.assert_array_equal(np.asarray(base.depth), np.asarray(fo.depth))
+    np.testing.assert_array_equal(np.asarray(base.alpha), np.asarray(fo.alpha))
+    # forward_only stays differentiable (via XLA's default gather transpose)
+    g = jax.grad(lambda m: jnp.mean(rasterize(
+        m, quats, scales, opac, shs, cam,
+        config=CFG_DENSE._replace(forward_only=True)).rgb ** 2))(means)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0

@@ -160,6 +160,7 @@ def bin_raw(
     k_cap: int,
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
+    want_rawslot: bool = True,
 ) -> RawBinned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
     tile, sorted by (tile, quantized depth) — the raw stream, no relayout.
@@ -307,9 +308,14 @@ def bin_raw(
 
     # Carry the raw slot through the sort: it anchors the raw->padded map
     # (`order`) that the gradient segment-reduce consumes (3-operand sort is
-    # only ~0.4 ms dearer than 2-operand at 2M).
-    key_sorted, gidx_sorted, rawslot_sorted = jax.lax.sort(
-        (key, gidx_raw, slot), num_keys=1)
+    # only ~0.4 ms dearer than 2-operand at 2M). Forward-only renders
+    # (want_rawslot=False) drop the third operand.
+    if want_rawslot:
+        key_sorted, gidx_sorted, rawslot_sorted = jax.lax.sort(
+            (key, gidx_raw, slot), num_keys=1)
+    else:
+        key_sorted, gidx_sorted = jax.lax.sort((key, gidx_raw), num_keys=1)
+        rawslot_sorted = None
 
     # Raw (unpadded) per-tile ranges via binary search on the sorted keys
     # (few queries -> the scan method is fine here).
@@ -338,13 +344,17 @@ def pad_relayout(
     num_tiles: int,
     k_cap: int,
     dummy: int,
+    want_keys: bool = True,
 ):
     """Re-lay a (tile, depth)-sorted instance stream into the chunk-aligned
     per-tile layout the blend kernels consume: each tile's range is padded to
     a PAD_ALIGN multiple; padding slots carry `dummy` / SENTINEL.
 
-    Returns (carry_padded [k_cap], keys_padded [k_cap],
+    Returns (carry_padded [k_cap], keys_padded [k_cap] or None,
              padded_starts [num_tiles + 1], num_kept scalar).
+    Only the dense (golden) blend consumes the padded keys; the Pallas
+    backend walks tile_starts directly, so `want_keys=False` skips
+    producing them.
     """
     assert k_cap % PAD_ALIGN == 0
     k_src = key_sorted.shape[0]
@@ -382,11 +392,15 @@ def pad_relayout(
         & (src < num_real)
     )
     src_c = jnp.clip(src, 0, k_src - 1)
-    # Final relayout pull: pack (carry, key) into one row-2 gather.
-    packed = jnp.stack([carry_sorted, key_sorted], axis=1)  # [k_src, 2]
-    pulled = packed[src_c]
-    carry_padded = jnp.where(valid, pulled[:, 0], dummy)
-    keys_padded = jnp.where(valid, pulled[:, 1], SENTINEL)
+    if want_keys:
+        # Final relayout pull: pack (carry, key) into one row-2 gather.
+        packed = jnp.stack([carry_sorted, key_sorted], axis=1)  # [k_src, 2]
+        pulled = packed[src_c]
+        carry_padded = jnp.where(valid, pulled[:, 0], dummy)
+        keys_padded = jnp.where(valid, pulled[:, 1], SENTINEL)
+    else:
+        carry_padded = jnp.where(valid, carry_sorted[src_c], dummy)
+        keys_padded = None
 
     num_kept = jnp.sum(valid.astype(jnp.int32))
     return carry_padded, keys_padded, padded_starts, num_kept
@@ -400,20 +414,39 @@ def bin_gaussians(
     k_cap: int,
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
+    want_keys: bool = True,
+    want_grad_maps: bool = True,
 ) -> Binned:
     """Expand each active Gaussian into one instance per covered tile,
     sorted by (tile, quantized depth), in the chunk-aligned padded layout
     the blend kernels consume. See `bin_raw` (expansion/cull/sort) and
-    `pad_relayout` (layout) for the two stages this composes."""
+    `pad_relayout` (layout) for the two stages this composes.
+
+    `want_keys=False` skips the padded sort-key output (only the dense
+    golden blend consumes it); `want_grad_maps=False` skips the raw->padded
+    `order` map and its extra sort operand + permutation sort (~5 ms at 2M)
+    for forward-only renders that never run gather_expand's backward."""
     n = means2d.shape[0]
     num_tiles = grid.num_tiles
     rb = bin_raw(means2d, depths, radii, grid, k_cap,
-                 conics=conics, opacities=opacities)
+                 conics=conics, opacities=opacities,
+                 want_rawslot=want_grad_maps)
     gidx_padded, keys_padded, padded_starts, num_kept = pad_relayout(
         rb.key_sorted, rb.gidx_sorted, rb.raw_starts, num_tiles, k_cap,
-        dummy=n)
+        dummy=n, want_keys=want_keys)
     # capacity losses only: AABB cells removed by the cull are not "dropped"
     num_dropped = rb.total - (rb.num_raw - rb.num_real) - num_kept
+
+    if not want_grad_maps:
+        return Binned(
+            gidx=gidx_padded,
+            tile_starts=padded_starts,
+            sort_keys=keys_padded,
+            num_instances=num_kept,
+            num_dropped=num_dropped,
+            order=None,
+            gauss_ends=jnp.minimum(rb.cum, k_cap),
+        )
 
     # ---- raw -> padded slot map (`order`) --------------------------------
     # The padded destination of SORTED position p (in tile t) is

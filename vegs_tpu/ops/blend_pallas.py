@@ -55,20 +55,20 @@ from jax.experimental.pallas import tpu as pltpu
 from .binning import PAD_ALIGN, TileGrid
 from .blend_ref import ALPHA_CLAMP, ALPHA_MIN, N_ACCUM, OUT_CHANNELS, T_EPS
 
-CHUNK = 128                    # instances per compute chunk
-SUPER = PAD_ALIGN // CHUNK     # chunks per DMA superchunk (4)
+CHUNK = 128                    # default instances per compute chunk
 F32_ROWS = 8                   # payload_f32 rows
 AUX_ROWS = 16                  # payload_aux rows
 TILES_PER_PROG = 8             # 8 adjacent 16x16 tiles = one (16,128) block
 NEG_CAP = -80.0                # clamp for log-transmittance
 
 
-def _tri(strict: bool) -> jax.Array:
-    """[CHUNK, CHUNK] f32: M[j, i] = 1 where j < i (strict) or j <= i.
+def _tri(strict: bool, chunk: int = CHUNK,
+         dtype=jnp.float32) -> jax.Array:
+    """[chunk, chunk] f32: M[j, i] = 1 where j < i (strict) or j <= i.
     Used as X @ M to compute prefix sums over the instance axis."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return ((j < i) if strict else (j <= i)).astype(jnp.float32)
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return ((j < i) if strict else (j <= i)).astype(dtype)
 
 
 def _pixel_monomials(tile_h: int, tile_w: int) -> jax.Array:
@@ -112,6 +112,7 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     cc = cf[4:5, :]
     op = cf[5:6, :]
 
+    chunk = cf.shape[1]
     q = jnp.concatenate(
         [
             -0.5 * ca * mx * mx - 0.5 * cc * my * my - cb * mx * my,
@@ -137,7 +138,7 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     valid = (power <= 0.0) & (alpha_raw >= ALPHA_MIN) & (carry_crossed == 0.0)
     alpha = jnp.where(valid, jnp.minimum(alpha_raw, ALPHA_CLAMP), 0.0)
 
-    tril_s = _tri(strict=True)
+    tril_s = _tri(strict=True, chunk=chunk)
 
     # Pass 1: unmasked trajectory locates the first crossing per pixel.
     L = jnp.log1p(-alpha)
@@ -153,8 +154,13 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     # prefix inside the conditional compiled but cost ~27 ms MORE per step
     # than always paying the second MXU prefix (6.13 -> 4.85 Mpix/s) — the
     # conditional defeats Mosaic's software pipelining of the chunk loop.
+    # Both operands here are exactly-representable 0/1 values with row sums
+    # <= chunk <= 256, so a bf16 MXU pass (f32 accumulate) is EXACT and runs
+    # at the double rate.
     cross_before = jax.lax.dot_general(
-        crossing, tril_s, (((1,), (0,)), ((), ())),
+        crossing.astype(jnp.bfloat16),
+        _tri(strict=True, chunk=chunk, dtype=jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=f32) > 0.0
     include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
     # Pass 2: exact trajectory over the final inclusion set.
@@ -198,7 +204,8 @@ def _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc):
 
 def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
                 acc_scratch, inc_ref, ti_ref, ainc_ref, sems,
-                *, ntx: int, tile_h: int, tile_w: int):
+                *, ntx: int, tile_h: int, tile_w: int, chunk: int = CHUNK):
+    super_ = PAD_ALIGN // chunk
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
@@ -230,9 +237,9 @@ def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
                                jax.lax.rem(sc + 1, 2), start, sc + 1)
 
             _wait_payload(pf_hbm, pa_hbm, buf_f, buf_a, sems, slot, start, sc)
-            for s in range(SUPER):
-                cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
-                aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
+            for s in range(super_):
+                cf = buf_f[slot, :, s * chunk:(s + 1) * chunk]
+                aux = buf_a[slot, :, s * chunk:(s + 1) * chunk]
                 _, _, logT, crossed, _ = _chunk_common(
                     cf, ox, oy, mono, logT, crossed, inc_ref, ti_ref, ainc_ref)
                 w = ainc_ref[:] * ti_ref[:]  # [P, C]
@@ -271,13 +278,14 @@ def _fwd_kernel(starts_ref, pf_hbm, pa_hbm, out_ref, buf_f, buf_a,
 def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, out_ref, dpf_hbm,
                 dpa_hbm, buf_f, buf_a, dgrad_f, dgrad_a, dpix_scratch,
                 tail_scratch, inc_ref, ti_ref, ainc_ref, sems, wr_sems,
-                *, ntx: int, tile_h: int, tile_w: int):
+                *, ntx: int, tile_h: int, tile_w: int, chunk: int = CHUNK):
+    super_ = PAD_ALIGN // chunk
     i = pl.program_id(0)
     j = pl.program_id(1)
     p = tile_h * tile_w
     f32 = jnp.float32
     mono = _pixel_monomials(tile_h, tile_w)
-    tri_full = _tri(strict=False)
+    tri_full = _tri(strict=False, chunk=chunk)
 
     # Pre-stage per-tile cotangents pixel-major (static lane offsets here;
     # inside tile_body only the leading dim is dynamically indexed), plus the
@@ -346,9 +354,9 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, out_ref, dpf_hbm,
                 wf.wait()
                 wa.wait()
 
-            for s in range(SUPER):
-                cf = buf_f[slot, :, s * CHUNK:(s + 1) * CHUNK]
-                aux = buf_a[slot, :, s * CHUNK:(s + 1) * CHUNK]
+            for s in range(super_):
+                cf = buf_f[slot, :, s * chunk:(s + 1) * chunk]
+                aux = buf_a[slot, :, s * chunk:(s + 1) * chunk]
                 expp, notclamped, logT, crossed, geom = _chunk_common(
                     cf, ox, oy, mono, logT, crossed,
                     inc_ref, ti_ref, ainc_ref)
@@ -390,12 +398,12 @@ def _bwd_kernel(starts_ref, pf_hbm, pa_hbm, dout_ref, out_ref, dpf_hbm,
 
                 # Split per-instance grads back into the two payload layouts:
                 # f32 (dmx, dmy, dconic, dop, ddepth) / aux (drgb, dquat, dscale).
-                dgrad_f[slot, :, s * CHUNK:(s + 1) * CHUNK] = jnp.concatenate(
+                dgrad_f[slot, :, s * chunk:(s + 1) * chunk] = jnp.concatenate(
                     [dmx, dmy, dca, dcb, dcc, dop, dchan[3:4],
-                     jnp.zeros((1, CHUNK), f32)], axis=0)
-                dgrad_a[slot, :, s * CHUNK:(s + 1) * CHUNK] = jnp.concatenate(
+                     jnp.zeros((1, chunk), f32)], axis=0)
+                dgrad_a[slot, :, s * chunk:(s + 1) * chunk] = jnp.concatenate(
                     [dchan[0:3], dchan[4:11],
-                     jnp.zeros((AUX_ROWS - 10, CHUNK), f32)],
+                     jnp.zeros((AUX_ROWS - 10, chunk), f32)],
                     axis=0).astype(dgrad_a.dtype)
                 cum = cum + jnp.sum(wdw, axis=1, keepdims=True)
 
@@ -458,11 +466,12 @@ def _use_interpret() -> bool:
 
 
 def _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid: TileGrid,
-                    hp: int, wp: int):
+                    hp: int, wp: int, chunk: int = CHUNK):
     nty, njg = _grid_dims(grid)
     aux_dtype = payload_aux.dtype
     kernel = functools.partial(
-        _fwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
+        _fwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w,
+        chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -483,9 +492,9 @@ def _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid: TileGrid,
                 pltpu.VMEM(
                     (TILES_PER_PROG, grid.tile_h * grid.tile_w, OUT_CHANNELS),
                     jnp.float32),
-                pltpu.VMEM((grid.tile_h * grid.tile_w, CHUNK), jnp.float32),
-                pltpu.VMEM((grid.tile_h * grid.tile_w, CHUNK), jnp.float32),
-                pltpu.VMEM((grid.tile_h * grid.tile_w, CHUNK), jnp.float32),
+                pltpu.VMEM((grid.tile_h * grid.tile_w, chunk), jnp.float32),
+                pltpu.VMEM((grid.tile_h * grid.tile_w, chunk), jnp.float32),
+                pltpu.VMEM((grid.tile_h * grid.tile_w, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
@@ -495,13 +504,14 @@ def _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid: TileGrid,
 
 
 def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, out, dout,
-                    grid: TileGrid):
+                    grid: TileGrid, chunk: int = CHUNK):
     nty, njg = _grid_dims(grid)
     k_cap = payload_f32.shape[1]
     aux_dtype = payload_aux.dtype
     p = grid.tile_h * grid.tile_w
     kernel = functools.partial(
-        _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w)
+        _bwd_kernel, ntx=grid.ntx, tile_h=grid.tile_h, tile_w=grid.tile_w,
+        chunk=chunk)
     pix_spec = pl.BlockSpec(
         (OUT_CHANNELS, grid.tile_h, TILES_PER_PROG * grid.tile_w),
         lambda i, j, *refs: (0, i, j),
@@ -529,9 +539,9 @@ def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, out, dout,
                 pltpu.VMEM((2, AUX_ROWS, PAD_ALIGN), aux_dtype),
                 pltpu.VMEM((TILES_PER_PROG, p, OUT_CHANNELS), jnp.float32),
                 pltpu.VMEM((TILES_PER_PROG, p, 1), jnp.float32),
-                pltpu.VMEM((p, CHUNK), jnp.float32),
-                pltpu.VMEM((p, CHUNK), jnp.float32),
-                pltpu.VMEM((p, CHUNK), jnp.float32),
+                pltpu.VMEM((p, chunk), jnp.float32),
+                pltpu.VMEM((p, chunk), jnp.float32),
+                pltpu.VMEM((p, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
@@ -551,25 +561,39 @@ def _blend_bwd_impl(payload_f32, payload_aux, tile_starts, out, dout,
             jnp.where(live, dpa, jnp.zeros((), aux_dtype)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def blend(payload_f32, payload_aux, tile_starts, grid: TileGrid,
-          hp: int, wp: int):
-    """Composite sorted instances into a [12, hp, wp] image (spec: blend_ref)."""
-    return _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid, hp, wp)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _blend_cv(payload_f32, payload_aux, tile_starts, grid: TileGrid,
+              hp: int, wp: int, chunk: int):
+    return _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid,
+                           hp, wp, chunk)
 
 
-def _blend_vjp_fwd(payload_f32, payload_aux, tile_starts, grid, hp, wp):
-    out = _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid, hp, wp)
+def _blend_vjp_fwd(payload_f32, payload_aux, tile_starts, grid, hp, wp,
+                   chunk):
+    out = _blend_fwd_impl(payload_f32, payload_aux, tile_starts, grid,
+                          hp, wp, chunk)
     # The forward output is a residual: tail[p] = sum_c dout[p,c]*out[p,c]
     # replaces the backward's former whole first sweep (see _bwd_kernel).
     return out, (payload_f32, payload_aux, tile_starts, out)
 
 
-def _blend_vjp_bwd(grid, hp, wp, residuals, dout):
+def _blend_vjp_bwd(grid, hp, wp, chunk, residuals, dout):
     payload_f32, payload_aux, tile_starts, out = residuals
     dpf, dpa = _blend_bwd_impl(
-        payload_f32, payload_aux, tile_starts, out, dout, grid)
+        payload_f32, payload_aux, tile_starts, out, dout, grid, chunk)
     return dpf, dpa, None
 
 
-blend.defvjp(_blend_vjp_fwd, _blend_vjp_bwd)
+_blend_cv.defvjp(_blend_vjp_fwd, _blend_vjp_bwd)
+
+
+def blend(payload_f32, payload_aux, tile_starts, grid: TileGrid,
+          hp: int, wp: int, chunk: int = CHUNK):
+    """Composite sorted instances into a [12, hp, wp] image (spec: blend_ref).
+
+    `chunk` (128 or 256; must divide binning.PAD_ALIGN) sets the per-compute-
+    chunk instance count: larger chunks halve while-loop iterations but
+    double the triangular-prefix MXU FLOPs."""
+    assert PAD_ALIGN % chunk == 0
+    return _blend_cv(payload_f32, payload_aux, tile_starts, grid, hp, wp,
+                     chunk)

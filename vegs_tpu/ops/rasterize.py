@@ -43,12 +43,11 @@ class RasterizeConfig(NamedTuple):
     backend: str = "auto"      # 'dense' | 'pallas' | 'auto'
     clamp_radius: int = 0      # 0 = unbounded footprint
     payload_dtype: str = "bf16"  # 'bf16' | 'f32' — rgb/quat/scale payload
-
-
-def _gather3x8(rows: jax.Array, idx: jax.Array) -> jax.Array:
-    """Row gather in 8-wide pieces (TPU's fast aligned-gather path)."""
-    return jnp.concatenate(
-        [rows[:, i * 8:(i + 1) * 8][idx] for i in range(3)], axis=1)
+    blend_chunk: int = 128     # instances per blend compute chunk (128|256)
+    forward_only: bool = False  # skip backward-only binning byproducts
+    #                             (inference paths: video/eval). Gradients
+    #                             still flow but via XLA's slow scatter-add
+    #                             transpose — don't train with this set.
 
 
 def _blocked_cumsum(x: jax.Array, block: int = 512) -> jax.Array:
@@ -116,12 +115,20 @@ def _ge_bwd(res, cots):
     g_f = jnp.where(dead, 0.0, d_pf[order_c])                # [K, 8] f32
     g_a = jnp.where(dead, 0.0,
                     _gather_rows_aux(d_pa, order_c).astype(jnp.float32))
-    g_sorted = jnp.concatenate([g_f, g_a], axis=1)           # [K, 24]
-    cum = _blocked_cumsum(g_sorted)
-    cum = jnp.concatenate([jnp.zeros((1, 24), cum.dtype), cum], axis=0)
-    # Segment sums: C[g] = cum[ends[g]]; d_rows[g] = C[g] - C[g-1]
-    # (ends[g-1] == starts[g], so one gather + one row shift suffices).
-    C = _gather3x8(cum, ends)
+    # Cumsum the f32/aux halves separately: concatenating them first costs a
+    # [K, 24] materialization (~190 MB of extra HBM traffic at 2M).
+    cum_f = _blocked_cumsum(g_f)                             # [K, 8] inclusive
+    cum_a = _blocked_cumsum(g_a)                             # [K, 16]
+    # Segment sums via the INCLUSIVE cumsum: S(e) = cum[e-1] for e > 0 else 0
+    # (gathering at ends-1 with an e==0 mask avoids prepending a zero row —
+    # a full [K+1, 24] copy). d_rows[g] = S(ends[g]) - S(ends[g-1]), and
+    # ends[g-1] == starts[g], so one gather + one row shift suffices.
+    e_idx = jnp.maximum(ends - 1, 0)
+    nonempty = (ends > 0).astype(jnp.float32)[:, None]
+    Cf = cum_f[e_idx] * nonempty                             # [n+1, 8]
+    Ca = jnp.concatenate(
+        [cum_a[:, :8][e_idx], cum_a[:, 8:][e_idx]], axis=1) * nonempty
+    C = jnp.concatenate([Cf, Ca], axis=1)                    # [n+1, 24]
     d_rows = C - jnp.concatenate([jnp.zeros((1, 24), C.dtype), C[:-1]], axis=0)
     return (d_rows[:, :F32_COLS], d_rows[:, F32_COLS:].astype(aux_dtype),
             None, None, None)
@@ -219,6 +226,7 @@ def rasterize(
         axis=1,
     ).astype(aux_dtype)  # [N, 16]
 
+    backend = _resolve_backend(config.backend)
     binned = binning.bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         jax.lax.stop_gradient(proj.depths),
@@ -227,24 +235,29 @@ def rasterize(
         config.k_cap,
         conics=jax.lax.stop_gradient(proj.conics),
         opacities=jax.lax.stop_gradient(proj.opacities),
+        want_keys=(backend == "dense"),
+        want_grad_maps=not config.forward_only,
     )
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
     # chunk-aligned layout points them at gidx == n). Row gathers hit the
     # 32-byte aligned fast path; the custom VJP replaces XLA's colliding
     # scatter-add transpose with a presorted segment reduction driven by
     # binning's raw->padded map (the dummy row gets an empty segment).
-    ends = jnp.concatenate([binned.gauss_ends, binned.gauss_ends[-1:]])
-    pf, pa = gather_expand(
-        jnp.pad(pay_f32, ((0, 1), (0, 0))),
-        jnp.pad(pay_aux, ((0, 1), (0, 0))),
-        binned.gidx,
-        binned.order,
-        ends,
-    )
+    if config.forward_only:
+        pf = jnp.pad(pay_f32, ((0, 1), (0, 0)))[binned.gidx]
+        pa = _gather_rows_aux(jnp.pad(pay_aux, ((0, 1), (0, 0))), binned.gidx)
+    else:
+        ends = jnp.concatenate([binned.gauss_ends, binned.gauss_ends[-1:]])
+        pf, pa = gather_expand(
+            jnp.pad(pay_f32, ((0, 1), (0, 0))),
+            jnp.pad(pay_aux, ((0, 1), (0, 0))),
+            binned.gidx,
+            binned.order,
+            ends,
+        )
     payload_f32 = pf.T    # [8, k_cap]
     payload_aux = pa.T    # [16, k_cap]
 
-    backend = _resolve_backend(config.backend)
     if backend == "dense":
         # Assemble the classic [17, K] f32 layout for the golden reference.
         pa_f = pa.astype(jnp.float32)
@@ -258,7 +271,8 @@ def rasterize(
 
         hp, wp = grid.nty * grid.tile_h, grid.ntx * grid.tile_w
         out_p = blend_pallas.blend(
-            payload_f32, payload_aux, binned.tile_starts, grid, hp, wp
+            payload_f32, payload_aux, binned.tile_starts, grid, hp, wp,
+            chunk=config.blend_chunk,
         )
         out = out_p[:, :H, :W]
     else:

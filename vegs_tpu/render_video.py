@@ -137,6 +137,7 @@ def render_set(scene: Scene, out_dir, n_interp: int = 4,
     """Render interpolated trajectories to one mp4 per augmentation."""
     import jax.numpy as jnp
 
+    raster_cfg = raster_cfg._replace(forward_only=True)  # inference only
     bg = jnp.asarray([1.0] * 3 if white_background else [0.0] * 3)
     train_cams = sorted(scene.getTrainCameras(), key=lambda c: (c.frame, c.colmap_id))
     cams_left = [c for c in train_cams if getattr(c, "cam_idx", 0) == 0] or train_cams

@@ -408,8 +408,9 @@ def make_perceptual_grad_fn(vgg_params, lam: float,
 def eval_render(field: GaussianField, cam: CameraParams, bg,
                 sh_degree: int, raster_cfg: RasterizeConfig):
     arrays = field_arrays(field, sh_degree)
+    cfg = raster_cfg._replace(forward_only=True)  # no grads taken at eval
     return _run(cam, arrays, bg=bg, scale_modifier=1.0, override_color=None,
-                sh_degree=sh_degree, config=raster_cfg, means2d_offset=None)
+                sh_degree=sh_degree, config=cfg, means2d_offset=None)
 
 
 # ---------------------------------------------------------------------------
