@@ -292,3 +292,72 @@ def test_tile_sharded_exchange_cap_reports_drops(rng):
         *shard_field_arrays(mesh, means, quats, scales, opac, shs, valid), bg)
     assert int(dropped) > 0
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_tp_step_matches_single_device(rng):
+    """Fully sharded training step (field/Adam/stats on the shard axis,
+    tile-sharded render, no grad collective) must produce the same updated
+    parameters and densify stats as the single-device step (DP step on a
+    1-device mesh has exactly the sequential trainer's semantics)."""
+    from vegs_tpu.parallel.tp_trainer import (
+        make_tp_train_step, shard_train_state)
+    from vegs_tpu.parallel.tile_sharded import make_tile_mesh
+    from utils import make_camera
+
+    h, w = 48, 96
+    prng = np.random.default_rng(7)
+    pts = prng.normal(size=(300, 3)).astype(np.float32)
+    cols = prng.uniform(0, 1, (300, 3)).astype(np.float32)
+    field = gaussians.create_from_points(pts, cols, capacity=512)
+    cam = make_camera(height=h, width=w, t=np.array([0, 0, 4.0]))
+    gt = jnp.asarray(prng.uniform(0, 1, (3, h, w)), jnp.float32)
+    normal = jnp.asarray(prng.normal(size=(3, h, w)), jnp.float32)
+    normal = normal / jnp.linalg.norm(normal, axis=0, keepdims=True)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    opt_cfg = OptimizationParams()
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 13,
+                             payload_dtype="f32")
+
+    # Single-device baseline: DP step on a 1-device mesh (== sequential
+    # trainer semantics; equivalence asserted by the DP test above).
+    opt_state = optim.adam_init(field)
+    stats = DensifyStats.zeros(field.capacity)
+    base = make_dp_train_step(make_mesh(1), opt_cfg, raster,
+                              spatial_scale=4.0, height=h, width=w,
+                              use_normal_loss=True)
+    cam_batch = stack_camera_batch([cam])
+    bf, bo, bs, bstep, bmet = base(
+        field, opt_state, stats, jnp.int32(0), cam_batch, gt[None],
+        normal[None], jnp.int32(3), bg)
+
+    # Fully sharded step on the 8-device mesh.
+    mesh = make_tile_mesh(8)
+    sf, so, ss = shard_train_state(mesh, field, optim.adam_init(field),
+                                   DensifyStats.zeros(field.capacity))
+    tp = make_tp_train_step(mesh, opt_cfg, raster, spatial_scale=4.0,
+                            cam=cam, use_normal_loss=True)
+    nf, no, ns, nstep, met = tp(sf, so, ss, jnp.int32(0), gt, normal,
+                                jnp.int32(3), bg)
+
+    assert int(met["num_dropped"]) == 0
+    np.testing.assert_allclose(float(met["loss"]), float(bmet["loss"]),
+                               rtol=1e-5)
+    for name in ("means", "quats", "log_scales", "sh_dc", "sh_rest",
+                 "opacity_logit"):
+        a = np.asarray(getattr(nf, name))
+        b = np.asarray(getattr(bf, name))
+        # Adam normalizes near-zero grads (update -> +-lr * m/sqrt(v)), so
+        # f32 reassociation through the exchange can flip a tail update by
+        # O(lr); bound absolutely at a fraction of the smallest LR.
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(ns.denom), np.asarray(bs.denom))
+    np.testing.assert_allclose(
+        np.asarray(ns.xyz_gradient_accum), np.asarray(bs.xyz_gradient_accum),
+        rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ns.max_radii2d),
+                               np.asarray(bs.max_radii2d))
+
+    # Shardings actually hold: every [C, ...] leaf is split over the axis.
+    assert nf.means.sharding.spec[0] == "shard"
+    assert no.mu.means.sharding.spec[0] == "shard"
+    assert ns.denom.sharding.spec[0] == "shard"

@@ -18,6 +18,63 @@ import time
 import numpy as np
 
 
+def run_tile(device_counts, n_gaussians=100_000, height=256, width=512,
+             iters=4, backend="pallas"):
+    """Tile-sharded single-render scaling: ONE image, Gaussians and tile
+    rows both sharded over the mesh axis (parallel/tile_sharded.py). Each
+    device touches N/D Gaussians and H/D pixel rows; the all_to_all splat
+    exchange is the only cross-device traffic. Reports fwd+bwd rays/s."""
+    if backend == "dense":
+        n_gaussians = min(n_gaussians, 2_000)
+        height, width = min(height, 64), min(width, 128)
+    import jax
+    import jax.numpy as jnp
+
+    from tests.utils import make_camera, random_gaussians
+    from ..ops.rasterize import RasterizeConfig
+    from .gauss_sharded import shard_field_arrays
+    from .tile_sharded import make_tile_mesh, make_tile_sharded_rasterize
+
+    rng = np.random.default_rng(0)
+    cam = make_camera(height=height, width=width)
+    means, quats, scales, opac, shs = random_gaussians(rng, n_gaussians)
+    bg = jnp.zeros(3)
+    cfg = RasterizeConfig(
+        backend=backend, k_cap=(1 << 14) if backend == "dense" else (1 << 19))
+
+    results = {}
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            continue
+        mesh = make_tile_mesh(nd)
+        fn = make_tile_sharded_rasterize(mesh, cam, cfg)
+        sharded = shard_field_arrays(
+            mesh, means, quats, scales, opac, shs,
+            jnp.ones((n_gaussians,), bool))
+
+        def loss(m):
+            rgb, _, _, _ = fn(m, *sharded[1:], bg)
+            return jnp.mean(rgb ** 2)
+
+        grad = jax.jit(jax.grad(loss))
+        g = grad(sharded[0])
+        float(jnp.sum(g))  # sync
+        t0 = time.time()
+        for _ in range(iters):
+            g = grad(sharded[0])
+        float(jnp.sum(g))
+        dt = (time.time() - t0) / iters
+        results[nd] = {"sec_per_step": dt,
+                       "rays_per_s": height * width / dt}
+
+    base = results.get(device_counts[0], {}).get("sec_per_step")
+    for nd, r in results.items():
+        # one image split D ways: ideal is CONSTANT rays/s with 1/D the
+        # per-device memory/FLOPs — report speedup vs the smallest mesh
+        r["speedup"] = base / r["sec_per_step"] if base else None
+    return results
+
+
 def run(device_counts, n_gaussians=100_000, height=256, width=512,
         iters=4, backend="pallas"):
     if backend == "dense":
@@ -91,5 +148,7 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
     ap.add_argument("--backend", default="pallas")
+    ap.add_argument("--mode", default="dp", choices=["dp", "tile"])
     args = ap.parse_args()
-    print(json.dumps(run(args.devices, backend=args.backend), indent=2))
+    fn = run_tile if args.mode == "tile" else run
+    print(json.dumps(fn(args.devices, backend=args.backend), indent=2))

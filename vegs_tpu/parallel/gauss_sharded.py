@@ -111,7 +111,8 @@ def make_gauss_sharded_rasterize(mesh, cam: CameraParams,
 
             hp, wp = grid.nty * grid.tile_h, grid.ntx * grid.tile_w
             out = blend_pallas.blend(
-                pf.T, pa.T, b.tile_starts, grid, hp, wp)[:, :H, :W]
+                pf.T, pa.T, b.tile_starts, grid, hp, wp,
+                chunk=config.blend_chunk)[:, :H, :W]
         t_fin = out[blend_ref.N_ACCUM]
         rgb = out[0:3] + t_fin[None] * bg[:, None, None]
         return rgb, out[3:4], 1.0 - t_fin[None]

@@ -36,6 +36,8 @@ no multi-device story at all (SURVEY §2.5).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -61,6 +63,162 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+class TilePlan(NamedTuple):
+    """Static shard-geometry for one (camera, mesh-size, config) triple."""
+    ndev: int
+    grid: TileGrid
+    nty_loc: int
+    tiles_loc: int
+    hp_loc: int
+    wp: int
+    k_loc: int
+    k_ex: int
+    r_total: int
+    k_blend: int
+    aux_dtype: object
+
+
+def make_tile_plan(ndev: int, cam: CameraParams, config: RasterizeConfig,
+                   k_exch: int | None = None) -> TilePlan:
+    H, W = cam.height, cam.width
+    # Tile grid whose row count divides the mesh axis.
+    base = TileGrid.for_image(H, W, config.tile_h, config.tile_w)
+    nty = _round_up(base.nty, ndev)
+    grid = TileGrid(config.tile_h, config.tile_w, base.ntx, nty)
+    assert grid.num_tiles <= binning.MAX_TILES
+    nty_loc = nty // ndev
+    tiles_loc = nty_loc * grid.ntx
+    k_loc = _round_up(max(config.k_cap // ndev, PAD_ALIGN), 512)
+    k_ex = k_loc if k_exch is None else _round_up(k_exch, 8)
+    r_total = ndev * k_ex  # rows received per device
+    return TilePlan(
+        ndev=ndev, grid=grid, nty_loc=nty_loc, tiles_loc=tiles_loc,
+        hp_loc=nty_loc * grid.tile_h, wp=grid.ntx * grid.tile_w,
+        k_loc=k_loc, k_ex=k_ex, r_total=r_total,
+        k_blend=_round_up(r_total + tiles_loc * PAD_ALIGN, 512),
+        aux_dtype=(jnp.bfloat16 if config.payload_dtype == "bf16"
+                   else jnp.float32))
+
+
+def tile_render_local(plan: TilePlan, cam: CameraParams,
+                      config: RasterizeConfig, sh_degree: int,
+                      means, quats, scales, opac, shs, valid,
+                      means2d_offset=None):
+    """Per-device body (call INSIDE shard_map over the `shard` axis): render
+    this device's tile rows from its Gaussian shard. Returns
+    (out_local [12, hp_loc, wp], proj (this shard's projection — radii /
+    means2d for densify stats), dropped scalar psum'd over the axis)."""
+    grid, nty_loc = plan.grid, plan.nty_loc
+    tiles_loc, hp_loc, wp = plan.tiles_loc, plan.hp_loc, plan.wp
+    k_loc, k_ex, r_total, k_blend = (plan.k_loc, plan.k_ex, plan.r_total,
+                                     plan.k_blend)
+    ndev, aux_dtype = plan.ndev, plan.aux_dtype
+
+    n_loc = means.shape[0]
+    # ---- local front end: project + payload on the Gaussian shard ----
+    cov6 = geometry.cov6_from_scaling_rotation(scales, quats)
+    proj = project(means, cov6, opac, shs, cam, sh_degree=sh_degree,
+                   valid=valid, means2d_offset=means2d_offset)
+    quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
+    pay_f32 = jnp.concatenate(
+        [proj.means2d, proj.conics, proj.opacities[:, None],
+         proj.depths[:, None], jnp.zeros((n_loc, 1), jnp.float32)],
+        axis=1)
+    pay_aux = jnp.concatenate(
+        [proj.rgb, quat_n, scales,
+         jnp.zeros((n_loc, AUX_COLS - 10), jnp.float32)],
+        axis=1).astype(aux_dtype)
+
+    rb = binning.bin_raw(
+        jax.lax.stop_gradient(proj.means2d),
+        jax.lax.stop_gradient(proj.depths),
+        proj.radii_xy, grid, k_loc,
+        conics=jax.lax.stop_gradient(proj.conics),
+        opacities=jax.lax.stop_gradient(proj.opacities))
+
+    # Per-Gaussian -> per-instance expansion in SORTED-stream order,
+    # with the segment-reduce backward (order = raw slot -> sorted pos,
+    # the inverse of the sort's rawslot permutation).
+    iota = jnp.arange(k_loc, dtype=jnp.int32)
+    _, order_raw = jax.lax.sort((rb.rawslot_sorted, iota), num_keys=1)
+    ends_l = jnp.minimum(rb.cum, k_loc)
+    ends = jnp.concatenate([ends_l, ends_l[-1:]])
+    st_pf, st_pa = gather_expand(
+        jnp.pad(pay_f32, ((0, 1), (0, 0))),
+        jnp.pad(pay_aux, ((0, 1), (0, 0))),
+        rb.gidx_sorted, order_raw, ends)
+
+    # ---- cut the sorted stream into destination-shard buckets --------
+    # Destination ranges are contiguous (the stream is tile-sorted):
+    # bucket d spans sorted positions [bstart[d], bstart[d+1]).
+    shard_bounds = jnp.arange(ndev + 1, dtype=jnp.int32) * tiles_loc
+    bstart = rb.raw_starts[shard_bounds]                     # [D+1]
+    j = jnp.arange(k_ex, dtype=jnp.int32)
+    idx = bstart[:-1, None] + j[None, :]                     # [D, k_ex]
+    ok = idx < bstart[1:, None]
+    dropped_exch = jnp.sum(
+        jnp.maximum(bstart[1:] - bstart[:-1] - k_ex, 0))
+    # Invalid slots read the appended zero row (keeps the gather's
+    # transpose a unique-index scatter — no cotangent collisions).
+    idx_safe = jnp.where(ok, idx, k_loc).reshape(-1)         # [D*k_ex]
+    keys_b = jnp.where(ok.reshape(-1),
+                       rb.key_sorted[jnp.minimum(idx, k_loc - 1)
+                                     .reshape(-1)], SENTINEL)
+    pf_b = jnp.concatenate([st_pf, jnp.zeros((1, 8), st_pf.dtype)]
+                           )[idx_safe]
+    pa_b = jnp.concatenate([st_pa, jnp.zeros((1, AUX_COLS), st_pa.dtype)]
+                           )[idx_safe]
+
+    # ---- the exchange: one all_to_all delivers every bucket ----------
+    keys_r = jax.lax.all_to_all(keys_b, TILE_AXIS, 0, 0, tiled=True)
+    pf_r = jax.lax.all_to_all(pf_b, TILE_AXIS, 0, 0, tiled=True)
+    pa_r = jax.lax.all_to_all(pa_b, TILE_AXIS, 0, 0, tiled=True)
+
+    # ---- local back end: merge-sort received runs, relayout, blend ---
+    me = jax.lax.axis_index(TILE_AXIS)
+    tile_base = (me * tiles_loc).astype(jnp.int32)
+    key_loc = jnp.where(
+        keys_r == SENTINEL, SENTINEL,
+        keys_r - jax.lax.shift_left(tile_base, TILE_SHIFT))
+    recv_iota = jnp.arange(r_total, dtype=jnp.int32)
+    key_sorted, recv_sorted = jax.lax.sort(
+        (key_loc, recv_iota), num_keys=1)
+    queries = jax.lax.shift_left(
+        jnp.arange(tiles_loc + 1, dtype=jnp.int32), TILE_SHIFT)
+    raw_starts_l = jnp.searchsorted(
+        key_sorted, queries, side="left").astype(jnp.int32)
+    carry, keys_pad, tile_starts, _ = binning.pad_relayout(
+        key_sorted, recv_sorted, raw_starts_l, tiles_loc, k_blend,
+        dummy=r_total, want_keys=(config.backend == "dense"))
+    pf_pad = jnp.concatenate([pf_r, jnp.zeros((1, 8), pf_r.dtype)]
+                             )[carry]
+    pa_pad = jnp.concatenate(
+        [pa_r, jnp.zeros((1, AUX_COLS), pa_r.dtype)])[carry]
+    # The local blend addresses pixels in LOCAL row coordinates: shift
+    # the splat means' y into this shard's frame (a linear reindex —
+    # gradients are unaffected).
+    y_off = (me * hp_loc).astype(pf_pad.dtype)
+    pf_pad = pf_pad.at[:, 1].add(-y_off)
+
+    grid_loc = TileGrid(grid.tile_h, grid.tile_w, grid.ntx, nty_loc)
+    if config.backend == "dense":
+        pa_f = pa_pad.astype(jnp.float32)
+        payload_sorted = jnp.concatenate(
+            [pf_pad[:, :6], pa_f[:, 0:3], pf_pad[:, 6:7], pa_f[:, 3:10]],
+            axis=1).T
+        out = blend_ref.blend_dense(
+            payload_sorted, keys_pad, tile_starts, grid_loc, hp_loc, wp)
+    else:
+        from ..ops import blend_pallas
+
+        out = blend_pallas.blend(
+            pf_pad.T, pa_pad.T, tile_starts, grid_loc, hp_loc, wp,
+            chunk=config.blend_chunk)
+    dropped = jax.lax.psum(rb.total - rb.num_raw + dropped_exch,
+                           TILE_AXIS)
+    return out, proj, dropped
+
+
 def make_tile_sharded_rasterize(mesh, cam: CameraParams,
                                 config: RasterizeConfig,
                                 sh_degree: int = 3,
@@ -76,129 +234,14 @@ def make_tile_sharded_rasterize(mesh, cam: CameraParams,
     """
     ndev = mesh.devices.size
     H, W = cam.height, cam.width
-
-    # Tile grid whose row count divides the mesh axis.
-    base = TileGrid.for_image(H, W, config.tile_h, config.tile_w)
-    nty = _round_up(base.nty, ndev)
-    grid = TileGrid(config.tile_h, config.tile_w, base.ntx, nty)
-    assert grid.num_tiles <= binning.MAX_TILES
-    nty_loc = nty // ndev
-    tiles_loc = nty_loc * grid.ntx
-    hp_loc = nty_loc * grid.tile_h
-    wp = grid.ntx * grid.tile_w
-
-    k_loc = _round_up(max(config.k_cap // ndev, PAD_ALIGN), 512)
-    k_ex = k_loc if k_exch is None else _round_up(k_exch, 8)
-    r_total = ndev * k_ex  # rows received per device
-    k_blend = _round_up(r_total + tiles_loc * PAD_ALIGN, 512)
-
-    aux_dtype = (jnp.bfloat16 if config.payload_dtype == "bf16"
-                 else jnp.float32)
+    plan = make_tile_plan(ndev, cam, config, k_exch)
 
     def body(means, quats, scales, opac, shs, valid, bg):
-        n_loc = means.shape[0]
-        # ---- local front end: project + payload on the Gaussian shard ----
-        cov6 = geometry.cov6_from_scaling_rotation(scales, quats)
-        proj = project(means, cov6, opac, shs, cam, sh_degree=sh_degree,
-                       valid=valid)
-        quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
-        pay_f32 = jnp.concatenate(
-            [proj.means2d, proj.conics, proj.opacities[:, None],
-             proj.depths[:, None], jnp.zeros((n_loc, 1), jnp.float32)],
-            axis=1)
-        pay_aux = jnp.concatenate(
-            [proj.rgb, quat_n, scales,
-             jnp.zeros((n_loc, AUX_COLS - 10), jnp.float32)],
-            axis=1).astype(aux_dtype)
-
-        rb = binning.bin_raw(
-            jax.lax.stop_gradient(proj.means2d),
-            jax.lax.stop_gradient(proj.depths),
-            proj.radii_xy, grid, k_loc,
-            conics=jax.lax.stop_gradient(proj.conics),
-            opacities=jax.lax.stop_gradient(proj.opacities))
-
-        # Per-Gaussian -> per-instance expansion in SORTED-stream order,
-        # with the segment-reduce backward (order = raw slot -> sorted pos,
-        # the inverse of the sort's rawslot permutation).
-        iota = jnp.arange(k_loc, dtype=jnp.int32)
-        _, order_raw = jax.lax.sort((rb.rawslot_sorted, iota), num_keys=1)
-        ends_l = jnp.minimum(rb.cum, k_loc)
-        ends = jnp.concatenate([ends_l, ends_l[-1:]])
-        st_pf, st_pa = gather_expand(
-            jnp.pad(pay_f32, ((0, 1), (0, 0))),
-            jnp.pad(pay_aux, ((0, 1), (0, 0))),
-            rb.gidx_sorted, order_raw, ends)
-
-        # ---- cut the sorted stream into destination-shard buckets --------
-        # Destination ranges are contiguous (the stream is tile-sorted):
-        # bucket d spans sorted positions [bstart[d], bstart[d+1]).
-        shard_bounds = jnp.arange(ndev + 1, dtype=jnp.int32) * tiles_loc
-        bstart = rb.raw_starts[shard_bounds]                     # [D+1]
-        j = jnp.arange(k_ex, dtype=jnp.int32)
-        idx = bstart[:-1, None] + j[None, :]                     # [D, k_ex]
-        ok = idx < bstart[1:, None]
-        dropped_exch = jnp.sum(
-            jnp.maximum(bstart[1:] - bstart[:-1] - k_ex, 0))
-        # Invalid slots read the appended zero row (keeps the gather's
-        # transpose a unique-index scatter — no cotangent collisions).
-        idx_safe = jnp.where(ok, idx, k_loc).reshape(-1)         # [D*k_ex]
-        keys_b = jnp.where(ok.reshape(-1),
-                           rb.key_sorted[jnp.minimum(idx, k_loc - 1)
-                                         .reshape(-1)], SENTINEL)
-        pf_b = jnp.concatenate([st_pf, jnp.zeros((1, 8), st_pf.dtype)]
-                               )[idx_safe]
-        pa_b = jnp.concatenate([st_pa, jnp.zeros((1, AUX_COLS), st_pa.dtype)]
-                               )[idx_safe]
-
-        # ---- the exchange: one all_to_all delivers every bucket ----------
-        keys_r = jax.lax.all_to_all(keys_b, TILE_AXIS, 0, 0, tiled=True)
-        pf_r = jax.lax.all_to_all(pf_b, TILE_AXIS, 0, 0, tiled=True)
-        pa_r = jax.lax.all_to_all(pa_b, TILE_AXIS, 0, 0, tiled=True)
-
-        # ---- local back end: merge-sort received runs, relayout, blend ---
-        me = jax.lax.axis_index(TILE_AXIS)
-        tile_base = (me * tiles_loc).astype(jnp.int32)
-        key_loc = jnp.where(
-            keys_r == SENTINEL, SENTINEL,
-            keys_r - jax.lax.shift_left(tile_base, TILE_SHIFT))
-        recv_iota = jnp.arange(r_total, dtype=jnp.int32)
-        key_sorted, recv_sorted = jax.lax.sort(
-            (key_loc, recv_iota), num_keys=1)
-        queries = jax.lax.shift_left(
-            jnp.arange(tiles_loc + 1, dtype=jnp.int32), TILE_SHIFT)
-        raw_starts_l = jnp.searchsorted(
-            key_sorted, queries, side="left").astype(jnp.int32)
-        carry, keys_pad, tile_starts, _ = binning.pad_relayout(
-            key_sorted, recv_sorted, raw_starts_l, tiles_loc, k_blend,
-            dummy=r_total)
-        pf_pad = jnp.concatenate([pf_r, jnp.zeros((1, 8), pf_r.dtype)]
-                                 )[carry]
-        pa_pad = jnp.concatenate(
-            [pa_r, jnp.zeros((1, AUX_COLS), pa_r.dtype)])[carry]
-        # The local blend addresses pixels in LOCAL row coordinates: shift
-        # the splat means' y into this shard's frame (a linear reindex —
-        # gradients are unaffected).
-        y_off = (me * hp_loc).astype(pf_pad.dtype)
-        pf_pad = pf_pad.at[:, 1].add(-y_off)
-
-        grid_loc = TileGrid(grid.tile_h, grid.tile_w, grid.ntx, nty_loc)
-        if config.backend == "dense":
-            pa_f = pa_pad.astype(jnp.float32)
-            payload_sorted = jnp.concatenate(
-                [pf_pad[:, :6], pa_f[:, 0:3], pf_pad[:, 6:7], pa_f[:, 3:10]],
-                axis=1).T
-            out = blend_ref.blend_dense(
-                payload_sorted, keys_pad, tile_starts, grid_loc, hp_loc, wp)
-        else:
-            from ..ops import blend_pallas
-
-            out = blend_pallas.blend(
-                pf_pad.T, pa_pad.T, tile_starts, grid_loc, hp_loc, wp)
+        out, _, dropped = tile_render_local(
+            plan, cam, config, sh_degree,
+            means, quats, scales, opac, shs, valid)
         t_fin = out[blend_ref.N_ACCUM]
         rgb = out[0:3] + t_fin[None] * bg[:, None, None]
-        dropped = jax.lax.psum(rb.total - rb.num_raw + dropped_exch,
-                               TILE_AXIS)
         return rgb, out[3:4], 1.0 - t_fin[None], dropped
 
     smapped = shard_map(

@@ -1,0 +1,152 @@
+"""Fully sharded training step: NO replicated per-Gaussian state.
+
+The tensor-parallel completion of SURVEY §2.5 (TP/SP rows): the Gaussian
+field, its Adam moments AND its densify statistics all live sharded on the
+`shard` mesh axis (axis 0 of every [C, ...] leaf); one camera is trained per
+step (the reference's regime, /root/reference/train.py:126-150) and the
+render itself is the tile-sharded rasterizer (tile_sharded.tile_render_local:
+N/D-proportional front end, one all_to_all splat exchange, each device blends
+its own tile rows).
+
+Per-device memory is params/D + Adam/D + stats/D + the transient exchange
+buffers — at the reference's 2.2M-Gaussian scale (~600 MB of state+opt
+replicated) an 8-device axis holds ~75 MB per chip, which is what lets a
+multi-host pod slice hold city-block scenes that cannot fit one chip.
+
+Design notes:
+  * Loss needs the FULL image (SSIM's 11x11 window crosses tile-row shard
+    boundaries), so the local tile rows are all_gather'ed (~6 MB at
+    376x1408 — trivial next to the payload exchange) and L1+DSSIM(+normal
+    guidance) is computed identically on every device. The gather's
+    transpose hands each device exactly its own rows' cotangents.
+  * Gradients arrive PRE-SHARDED: each Gaussian lives on exactly one
+    device, so there is no grad collective at all (contrast DP's psum) —
+    the only backward-pass communication is the reverse all_to_all of the
+    splat exchange plus the image-gather transpose.
+  * The Adam update and densify-stat accumulation are purely row-local,
+    so they run shard-local with no communication; densify/recompaction
+    later runs per shard as well (each shard keeps its own capacity/D
+    budget and valid mask — clone/split targets stay on the shard that
+    owns the parent).
+
+Equivalence: tests/test_parallel.py asserts an 8-device step matches the
+single-device trainer step bit-for-bit up to f32 reassociation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from .. import densify, optim
+from ..gaussians import DensifyStats, GaussianField, sh_band_mask
+from ..losses import l1_loss, loss_normal_guidance, ssim
+from ..ops import blend_ref
+from ..ops.projection import CameraParams
+from ..ops.rasterize import RasterizeConfig
+from .tile_sharded import TILE_AXIS, make_tile_plan, tile_render_local
+
+
+def shard_train_state(mesh, field: GaussianField, opt, stats: DensifyStats):
+    """Place (field, Adam, stats) sharded on axis 0 over the mesh's first
+    axis; scalar leaves (Adam count) stay replicated."""
+    axis = mesh.axis_names[0]
+
+    def put(x):
+        spec = P(axis) if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, jax.sharding.NamedSharding(mesh, spec))
+
+    return (jax.tree.map(put, field), jax.tree.map(put, opt),
+            jax.tree.map(put, stats))
+
+
+def make_tp_train_step(
+    mesh,
+    opt_cfg,
+    raster_cfg: RasterizeConfig,
+    spatial_scale: float,
+    cam: CameraParams,
+    use_normal_loss: bool = False,
+    sh_total_degree: int = 3,
+    k_exch: int | None = None,
+):
+    """Build the jitted fully-sharded step.
+
+    Inputs (per call):
+      field, opt, stats — ALL sharded on axis 0 (see shard_train_state)
+      step: scalar int32 — replicated
+      gt: [3, H, W], normal: [3, H, W] — replicated
+      active_sh_degree: scalar int32, bg: [3] — replicated
+    Returns (field, opt, stats, step, metrics) with the same shardings.
+    """
+    ndev = mesh.devices.size
+    H, W = cam.height, cam.width
+    plan = make_tile_plan(ndev, cam, raster_cfg, k_exch)
+    lam_dssim = opt_cfg.lambda_dssim
+    lam_dnormal = opt_cfg.lambda_dnormal
+
+    def local_loss(params, field_tmpl, m2d_offset, gt, normal,
+                   active_sh_degree, bg):
+        field = optim.with_params(field_tmpl, params)
+        mask = sh_band_mask(active_sh_degree)[None, :, None]
+        out_loc, proj, dropped = tile_render_local(
+            plan, cam, raster_cfg, sh_total_degree,
+            field.means, field.rotations(), field.scales(),
+            field.opacities()[:, 0], field.features() * mask, field.valid,
+            means2d_offset=m2d_offset)
+        # Full image on every device (transpose routes each device its own
+        # rows' cotangents); SSIM windows then cross shard rows for free.
+        out = jax.lax.all_gather(out_loc, TILE_AXIS, axis=1, tiled=True)
+        t_fin = out[blend_ref.N_ACCUM, :H, :W]
+        rgb = out[0:3, :H, :W] + t_fin[None] * bg[:, None, None]
+        ll1 = l1_loss(rgb, gt)
+        loss = (1 - lam_dssim) * ll1 + lam_dssim * (1.0 - ssim(rgb, gt))
+        if use_normal_loss:
+            loss = loss + lam_dnormal * loss_normal_guidance(
+                out[4:8, :H, :W], out[8:11, :H, :W], normal)
+        # Every device computes the IDENTICAL loss on the gathered image, so
+        # the gather's transpose sums ndev copies of each row's cotangent.
+        # Differentiate loss/ndev so gradients match the single-device step
+        # exactly (Adam's scale invariance would hide the 8x on params, but
+        # densify's xyz_gradient_accum is threshold-compared in absolute
+        # units and must not inflate).
+        return loss / ndev, (proj.radii, ll1, loss, dropped)
+
+    def sharded_body(field, opt_state, stats, step, gt, normal,
+                     active_sh_degree, bg):
+        params = optim.split_params(field)
+        m2d = jnp.zeros((field.capacity, 2), jnp.float32)  # local rows
+        (_, (radii, ll1, loss, dropped)), (g_params, g_m2d) = (
+            jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
+            (params, field, m2d, gt, normal, active_sh_degree, bg))
+
+        # No gradient collective: every Gaussian lives on exactly one shard.
+        lrs = optim.field_lrs(opt_cfg, spatial_scale, step)
+        new_field, new_opt = optim.adam_step(field, g_params, opt_state, lrs)
+
+        # Densify stats are row-local too.
+        norm_c, vis_c, rad_c = densify.stats_contribution(
+            g_m2d, radii, H, W)
+        new_stats = densify.apply_stats(stats, norm_c, vis_c, rad_c)
+        metrics = {"loss": loss, "l1": ll1, "num_dropped": dropped}
+        return new_field, new_opt, new_stats, step + 1, metrics
+
+    field_spec = GaussianField(
+        means=P(TILE_AXIS), quats=P(TILE_AXIS), log_scales=P(TILE_AXIS),
+        sh_dc=P(TILE_AXIS), sh_rest=P(TILE_AXIS),
+        opacity_logit=P(TILE_AXIS), valid=P(TILE_AXIS))
+    opt_spec = optim.AdamState(mu=field_spec, nu=field_spec, count=P())
+    stats_spec = DensifyStats(
+        max_radii2d=P(TILE_AXIS), xyz_gradient_accum=P(TILE_AXIS),
+        denom=P(TILE_AXIS))
+
+    smapped = shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(field_spec, opt_spec, stats_spec, P(), P(), P(), P(), P()),
+        out_specs=(field_spec, opt_spec, stats_spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
