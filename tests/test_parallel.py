@@ -361,3 +361,61 @@ def test_tp_step_matches_single_device(rng):
     assert nf.means.sharding.spec[0] == "shard"
     assert no.mu.means.sharding.spec[0] == "shard"
     assert ns.denom.sharding.spec[0] == "shard"
+
+
+def test_dp_tp_hybrid_step_matches_dp(rng):
+    """2D (data, shard) hybrid step: 2 cameras x 4-way-sharded field must
+    match the plain 2-device DP step (replicated field) on params, stats
+    and loss."""
+    from vegs_tpu.parallel.tp_trainer import (
+        make_dp_mesh_2d, make_dp_tp_train_step, shard_train_state)
+    from utils import make_camera
+
+    h, w = 48, 96
+    prng = np.random.default_rng(11)
+    pts = prng.normal(size=(300, 3)).astype(np.float32)
+    cols = prng.uniform(0, 1, (300, 3)).astype(np.float32)
+    field = gaussians.create_from_points(pts, cols, capacity=512)
+    cams = []
+    for i in range(2):
+        th = np.pi / 7 * i
+        R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                      [-np.sin(th), 0, np.cos(th)]])
+        cams.append(make_camera(height=h, width=w, R=R,
+                                t=np.array([0, 0, 4.0])))
+    gt = jnp.asarray(prng.uniform(0, 1, (2, 3, h, w)), jnp.float32)
+    normal = jnp.zeros((2, 3, h, w), jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    opt_cfg = OptimizationParams()
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 13,
+                             payload_dtype="f32")
+    cam_batch = stack_camera_batch(cams)
+
+    # Baseline: plain DP on 2 devices (replicated field).
+    base = make_dp_train_step(make_mesh(2), opt_cfg, raster,
+                              spatial_scale=4.0, height=h, width=w)
+    bf, bo, bs, bstep, bmet = base(
+        field, optim.adam_init(field), DensifyStats.zeros(field.capacity),
+        jnp.int32(0), cam_batch, gt, normal, jnp.int32(3), bg)
+
+    # Hybrid: (data=2, shard=4) mesh, field sharded 4-way.
+    mesh = make_dp_mesh_2d(2, 4)
+    sf, so, ss = shard_train_state(mesh, field, optim.adam_init(field),
+                                   DensifyStats.zeros(field.capacity))
+    hyb = make_dp_tp_train_step(mesh, opt_cfg, raster, spatial_scale=4.0,
+                                cam=cams[0])
+    nf, no, ns, nstep, met = hyb(sf, so, ss, jnp.int32(0), cam_batch, gt,
+                                 normal, jnp.int32(3), bg)
+
+    np.testing.assert_allclose(float(met["loss"]), float(bmet["loss"]),
+                               rtol=1e-5)
+    for name in ("means", "quats", "log_scales", "sh_dc", "sh_rest",
+                 "opacity_logit"):
+        a = np.asarray(getattr(nf, name))
+        b = np.asarray(getattr(bf, name))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5, err_msg=name)
+    np.testing.assert_allclose(np.asarray(ns.denom), np.asarray(bs.denom))
+    np.testing.assert_allclose(
+        np.asarray(ns.xyz_gradient_accum), np.asarray(bs.xyz_gradient_accum),
+        rtol=1e-4, atol=1e-6)
+    assert nf.means.sharding.spec[0] == "shard"

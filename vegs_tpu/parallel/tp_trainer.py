@@ -150,3 +150,117 @@ def make_tp_train_step(
         check_vma=False,
     )
     return jax.jit(smapped)
+
+
+def make_dp_mesh_2d(n_data: int, n_shard: int) -> jax.sharding.Mesh:
+    """2D mesh (data, shard): camera batch on the outer axis, Gaussian/tile
+    shard on the inner (contiguous devices — ICI-neighbor heavy all_to_all
+    stays on the inner axis; the lighter grad psum rides the outer)."""
+    import numpy as np
+
+    devs = np.array(jax.devices()[:n_data * n_shard]).reshape(
+        n_data, n_shard)
+    return jax.sharding.Mesh(devs, ("data", TILE_AXIS))
+
+
+def make_dp_tp_train_step(
+    mesh,
+    opt_cfg,
+    raster_cfg: RasterizeConfig,
+    spatial_scale: float,
+    cam: CameraParams,
+    use_normal_loss: bool = False,
+    sh_total_degree: int = 3,
+    k_exch: int | None = None,
+):
+    """Hybrid 2D step over a (data, shard) mesh: each data row trains a
+    DIFFERENT camera (stack_camera_batch leaves, [Dd, ...]) against the same
+    field, which is sharded over the inner axis and replicated across data
+    rows. The splat all_to_all and image gather run on the inner axis; the
+    only cross-row traffic is the per-Gaussian-grad psum (sharded rows, so
+    1/Ds of the DP-step volume) and the densify-stat reductions.
+
+    Inputs: field/opt/stats sharded as in make_tp_train_step; cam_batch with
+    leaves [Dd, ...]; gt/normal [Dd, 3, H, W]; scalars replicated.
+    """
+    n_data, n_shard = (mesh.shape["data"], mesh.shape[TILE_AXIS])
+    H, W = cam.height, cam.width
+    plan = make_tile_plan(n_shard, cam, raster_cfg, k_exch)
+    lam_dssim = opt_cfg.lambda_dssim
+    lam_dnormal = opt_cfg.lambda_dnormal
+
+    def local_loss(params, field_tmpl, m2d_offset, cam_d, gt, normal,
+                   active_sh_degree, bg):
+        field = optim.with_params(field_tmpl, params)
+        mask = sh_band_mask(active_sh_degree)[None, :, None]
+        out_loc, proj, dropped = tile_render_local(
+            plan, cam_d, raster_cfg, sh_total_degree,
+            field.means, field.rotations(), field.scales(),
+            field.opacities()[:, 0], field.features() * mask, field.valid,
+            means2d_offset=m2d_offset)
+        out = jax.lax.all_gather(out_loc, TILE_AXIS, axis=1, tiled=True)
+        t_fin = out[blend_ref.N_ACCUM, :H, :W]
+        rgb = out[0:3, :H, :W] + t_fin[None] * bg[:, None, None]
+        ll1 = l1_loss(rgb, gt)
+        loss = (1 - lam_dssim) * ll1 + lam_dssim * (1.0 - ssim(rgb, gt))
+        if use_normal_loss:
+            loss = loss + lam_dnormal * loss_normal_guidance(
+                out[4:8, :H, :W], out[8:11, :H, :W], normal)
+        # /n_shard: identical loss on every shard of this data row (gather
+        # transpose sums the copies — see make_tp_train_step).
+        return loss / n_shard, (proj.radii, ll1, loss, dropped)
+
+    def sharded_body(field, opt_state, stats, step, cam_batch, gt_batch,
+                     normal_batch, active_sh_degree, bg):
+        # Each device sees its data row's [1, ...] slice of the batch.
+        cam_d = jax.tree.map(
+            lambda x: x[0] if getattr(x, "ndim", 0) >= 1 else x, cam_batch)
+        gt = gt_batch[0]
+        normal = normal_batch[0]
+
+        params = optim.split_params(field)
+        m2d = jnp.zeros((field.capacity, 2), jnp.float32)
+        (_, (radii, ll1, loss, dropped)), (g_params, g_m2d) = (
+            jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
+            (params, field, m2d, cam_d, gt, normal, active_sh_degree, bg))
+
+        # Camera-batch all-reduce of the (already shard-local) grads.
+        g_params = jax.tree.map(
+            lambda g: jax.lax.psum(g, "data") / n_data, g_params)
+        loss = jax.lax.psum(loss, "data") / n_data
+        ll1 = jax.lax.psum(ll1, "data") / n_data
+
+        lrs = optim.field_lrs(opt_cfg, spatial_scale, step)
+        new_field, new_opt = optim.adam_step(field, g_params, opt_state, lrs)
+
+        # Densify stats: per-view contributions reduced across the camera
+        # batch (psum norms + counts, pmax radii — sequential semantics).
+        norm_c, vis_c, rad_c = densify.stats_contribution(
+            g_m2d, radii, H, W)
+        new_stats = densify.apply_stats(
+            stats, jax.lax.psum(norm_c, "data"),
+            jax.lax.psum(vis_c, "data"), jax.lax.pmax(rad_c, "data"))
+        metrics = {"loss": loss, "l1": ll1,
+                   "num_dropped": jax.lax.pmax(dropped, "data")}
+        return new_field, new_opt, new_stats, step + 1, metrics
+
+    row = P(TILE_AXIS)
+    field_spec = GaussianField(
+        means=row, quats=row, log_scales=row, sh_dc=row, sh_rest=row,
+        opacity_logit=row, valid=row)
+    opt_spec = optim.AdamState(mu=field_spec, nu=field_spec, count=P())
+    stats_spec = DensifyStats(
+        max_radii2d=row, xyz_gradient_accum=row, denom=row)
+    cam_spec = CameraParams(
+        viewmatrix=P("data"), projmatrix=P("data"), campos=P("data"),
+        tan_fovx=P("data"), tan_fovy=P("data"), height=H, width=W)
+
+    smapped = shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(field_spec, opt_spec, stats_spec, P(), cam_spec,
+                  P("data"), P("data"), P(), P()),
+        out_specs=(field_spec, opt_spec, stats_spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
