@@ -419,3 +419,62 @@ def test_dp_tp_hybrid_step_matches_dp(rng):
         np.asarray(ns.xyz_gradient_accum), np.asarray(bs.xyz_gradient_accum),
         rtol=1e-4, atol=1e-6)
     assert nf.means.sharding.spec[0] == "shard"
+
+
+def test_tp_densify_matches_single_device_decisions(rng):
+    """Shard-local densify: clone/split/prune decisions are row-local, so
+    the sharded recompaction must produce the same total count and the same
+    multiset of kept+cloned rows as the single-device densify (split
+    children are random samples, so only their count is compared)."""
+    from vegs_tpu import densify
+    from vegs_tpu.parallel.tile_sharded import make_tile_mesh
+    from vegs_tpu.parallel.tp_trainer import (shard_train_state,
+                                              tp_densify_and_prune)
+
+    prng = np.random.default_rng(3)
+    pts = prng.normal(size=(400, 3)).astype(np.float32)
+    cols = prng.uniform(0, 1, (400, 3)).astype(np.float32)
+    field = gaussians.create_from_points(pts, cols, capacity=512)
+    opt = optim.adam_init(field)
+    # Fabricated stats: high gradient on some rows (drives clone/split),
+    # low opacity on none (prune only via invalid rows).
+    accum = jnp.asarray(prng.uniform(0, 4e-4, 512), jnp.float32)
+    stats = DensifyStats(
+        max_radii2d=jnp.zeros(512), xyz_gradient_accum=accum,
+        denom=jnp.ones(512))
+    kw = dict(grad_threshold=2e-4, percent_dense=0.01, extent=4.0,
+              min_opacity=0.005, max_screen_size=0)
+
+    key = jax.random.key(5)
+    # Shard + snapshot BEFORE the single-device call: densify_and_prune
+    # donates (deletes) its field/opt inputs.
+    mesh = make_tile_mesh(8)
+    # Fresh Adam state for the sharded copy: device_put of a replicated
+    # scalar (Adam count) can alias the original buffer, which the
+    # reference call below donates.
+    sf, so, ss = shard_train_state(mesh, field, optim.adam_init(field),
+                                   stats)
+    means_host = np.asarray(field.means).copy()
+    valid_host = np.asarray(field.valid).copy()
+    clone, split, prune = densify.densify_masks(
+        field, stats, kw["grad_threshold"], kw["percent_dense"],
+        kw["extent"], kw["min_opacity"], kw["max_screen_size"])
+    clone, split, prune = (np.asarray(clone), np.asarray(split),
+                           np.asarray(prune))
+
+    rf, ro, rs, rn = densify.densify_and_prune(field, opt, stats, key, **kw)
+    nf, no, ns, nn = tp_densify_and_prune(mesh, sf, so, ss, key, **kw)
+
+    assert nn == rn, (nn, rn)
+    assert int(jnp.sum(nf.valid.astype(jnp.int32))) == rn
+    # kept + cloned rows are deterministic: compare as multisets of means
+    keep = valid_host & ~prune & ~split
+    want = np.concatenate([means_host[keep], means_host[clone]])
+    got = np.asarray(nf.means)[np.asarray(nf.valid)]
+    # every wanted row appears in the sharded result
+    got_set = {tuple(np.round(r, 5)) for r in got}
+    missing = [r for r in want if tuple(np.round(r, 5)) not in got_set]
+    assert not missing, f"{len(missing)} kept/cloned rows missing"
+    # shardings hold and per-shard capacity is uniform
+    assert nf.means.sharding.spec[0] == "shard"
+    assert nf.capacity % 8 == 0

@@ -264,3 +264,71 @@ def make_dp_tp_train_step(
         check_vma=False,
     )
     return jax.jit(smapped)
+
+
+def tp_densify_and_prune(
+    mesh,
+    field: GaussianField,
+    opt,
+    stats: DensifyStats,
+    key: jax.Array,
+    *,
+    grad_threshold: float,
+    percent_dense: float,
+    extent: float,
+    min_opacity: float = 0.005,
+    max_screen_size: int = 0,
+    capacity_headroom: float = 1.0,
+):
+    """Shard-local densify/prune of a sharded (field, Adam, stats) triple.
+
+    The clone/split/prune decisions are purely row-local (densify_masks), so
+    each device recompacts ITS OWN rows — children land on the parent's
+    shard; no resharding, no communication. Like the single-device
+    densify_and_prune this is host-driven: the per-shard output capacity is
+    the max requirement over shards (shards stay equal-sized so the state
+    remains a plain [D*cap_loc, ...] sharded array), rounded to a bucket so
+    recompilation amortizes. Returns (field, opt, stats, n_active_total).
+    """
+    from ..gaussians import round_capacity
+
+    axis = mesh.axis_names[-1] if TILE_AXIS in mesh.axis_names else (
+        mesh.axis_names[0])
+    D = mesh.shape[axis]
+    import numpy as np
+
+    masks = densify.densify_masks(
+        field, stats, grad_threshold, percent_dense, extent,
+        min_opacity, max_screen_size)
+    clone, split, prune = masks
+    keep = field.valid & ~prune & ~split
+
+    def per_shard(m):
+        return np.asarray(m).reshape(D, -1).sum(axis=1)
+
+    n_out = (per_shard(keep) + per_shard(clone) + 2 * per_shard(split))
+    cap_loc = round_capacity(int(n_out.max() * capacity_headroom) + 1,
+                             multiple=512)
+    keys = jax.random.split(key, D)
+
+    row = P(axis)
+    field_spec = GaussianField(
+        means=row, quats=row, log_scales=row, sh_dc=row, sh_rest=row,
+        opacity_logit=row, valid=row)
+    opt_spec = optim.AdamState(mu=field_spec, nu=field_spec, count=P())
+    stats_spec = DensifyStats(
+        max_radii2d=row, xyz_gradient_accum=row, denom=row)
+
+    def body(field, opt, clone, split, prune, keys):
+        f, o, s, n = densify._recompact(
+            field, opt, (clone, split, prune), cap_loc, keys[0])
+        return f, o, s, jax.lax.psum(n, axis)
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(field_spec, opt_spec, row, row, row, row),
+        out_specs=(field_spec, opt_spec, stats_spec, P()),
+        check_vma=False)
+    new_field, new_opt, new_stats, n_total = jax.jit(fn)(
+        field, opt, clone, split, prune, keys)
+    return new_field, new_opt, new_stats, int(n_total)
