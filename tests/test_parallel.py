@@ -478,3 +478,114 @@ def test_tp_densify_matches_single_device_decisions(rng):
     # shardings hold and per-shard capacity is uniform
     assert nf.means.sharding.spec[0] == "shard"
     assert nf.capacity % 8 == 0
+
+
+def test_tp_full_model_step_matches_single_device(rng):
+    """FULL VEGS model (static + box slots + deltas) fully sharded: the
+    8-device step must match the single-device make_train_step on static
+    params, box params, deltas, and both densify-stat sets."""
+    from vegs_tpu.boxmodel import BoxDeltas
+    from vegs_tpu.train import BoxSlotState, TrainState, make_train_step
+    from vegs_tpu.parallel.tile_sharded import make_tile_mesh
+    from vegs_tpu.parallel.tp_trainer import (make_tp_full_train_step,
+                                              shard_train_state)
+    from utils import make_camera
+
+    h, w = 48, 96
+    S, bcap = 2, 64
+    prng = np.random.default_rng(13)
+    pts = prng.normal(size=(300, 3)).astype(np.float32)
+    cols = prng.uniform(0, 1, (300, 3)).astype(np.float32)
+    field = gaussians.create_from_points(pts, cols, capacity=512)
+    # Default scale clip (NOT the reference's 1e-4 box clip): sub-pixel box
+    # Gaussians have ~0 gradients, and Adam's first step is lr*sign(grad) —
+    # reassociation noise would flip signs and break step-level parity for
+    # entries that carry no real signal.
+    bpts = prng.uniform(-0.45, 0.45, (S, 48, 3)).astype(np.float32)
+    bfields = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[gaussians.create_from_points(bpts[i], capacity=bcap)
+          for i in range(S)])
+    box_opt = jax.tree.map(
+        lambda *x: jnp.stack(x),
+        *[optim.adam_init(jax.tree.map(lambda v: v[i], bfields))
+          for i in range(S)])
+    box_stats = jax.tree.map(
+        lambda *x: jnp.stack(x), *[DensifyStats.zeros(bcap) for _ in range(S)])
+    ident = BoxDeltas.identity()
+    deltas = jax.tree.map(
+        lambda x: jnp.tile(x, (S,) + (1,) * x.ndim), ident)
+    delta_opt = optim.tensor_adam_init(dict(
+        delta_r=deltas.delta_r, delta_s=deltas.delta_s,
+        delta_t=deltas.delta_t))
+    b2w = jnp.tile(jnp.eye(4), (S, 1, 1)).at[:, 2, 3].set(2.5)
+    active = jnp.ones((S,), bool)
+
+    cam = make_camera(height=h, width=w, t=np.array([0, 0, 4.0]))
+    gt = jnp.asarray(prng.uniform(0, 1, (3, h, w)), jnp.float32)
+    normal = jnp.asarray(prng.normal(size=(3, h, w)), jnp.float32)
+    normal = normal / jnp.linalg.norm(normal, axis=0, keepdims=True)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    opt_cfg = OptimizationParams()
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 13,
+                             payload_dtype="f32")
+    kw = dict(use_normal_loss=True, box_lr_mult=2.0,
+              boxmodel_lr=1e-3, boxmodel_lambda_reg=1e-2)
+
+    # Single-device baseline (the real trainer's step).
+    single = make_train_step(opt_cfg, raster, spatial_scale=4.0,
+                             n_box_slots=S, **kw)
+    st0 = TrainState(field=field, opt=optim.adam_init(field),
+                     stats=DensifyStats.zeros(field.capacity),
+                     step=jnp.int32(0))
+    bs0 = BoxSlotState(fields=bfields, opt=box_opt, stats=box_stats)
+    st2, bs2, dl2, do2, bmet = single(
+        st0, bs0, deltas, delta_opt, b2w, active, cam, gt, normal,
+        jnp.float32(1.0), jnp.int32(3), bg)
+
+    # Fully sharded step on the 8-device mesh.
+    mesh = make_tile_mesh(8)
+    sf, so, ss = shard_train_state(mesh, field, optim.adam_init(field),
+                                   DensifyStats.zeros(field.capacity))
+    bshard = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "shard"))
+    put_b = lambda t: jax.tree.map(
+        lambda x: jax.device_put(x, bshard) if x.ndim >= 2
+        else jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), t)
+    tp = make_tp_full_train_step(
+        mesh, opt_cfg, raster, spatial_scale=4.0, cam=cam,
+        n_box_slots=S, **kw)
+    (nf, no, ns, nstep, nbf, nbo, nbs, ndl, ndo, met) = tp(
+        sf, so, ss, jnp.int32(0), put_b(bfields), put_b(box_opt),
+        put_b(box_stats), deltas, delta_opt, b2w, active, gt, normal,
+        jnp.float32(1.0), jnp.int32(3), bg)
+
+    np.testing.assert_allclose(float(met["loss"]), float(bmet["loss"]),
+                               rtol=1e-5)
+    for name in ("means", "quats", "log_scales", "sh_dc", "opacity_logit"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(nf, name)), np.asarray(getattr(st2.field, name)),
+            rtol=2e-4, atol=1e-5, err_msg=f"static.{name}")
+        # Entries with ~0 true gradient take an lr*sign(noise) first Adam
+        # step whose sign f32 reassociation can flip (diff = 2*lr): require
+        # >=95% of entries tight and bound ALL by one flipped Adam step.
+        a = np.asarray(getattr(nbf, name))
+        b = np.asarray(getattr(bs2.fields, name))
+        diff = np.abs(a - b)
+        tight = diff <= 1e-5 + 2e-4 * np.abs(b)
+        assert tight.mean() >= 0.95, f"box.{name}: {tight.mean():.3f} tight"
+        assert diff.max() <= 2.2e-3, f"box.{name}: max diff {diff.max()}"
+    for k in ("delta_r", "delta_s", "delta_t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ndl, k)), np.asarray(getattr(dl2, k)),
+            rtol=1e-4, atol=1e-6, err_msg=k)
+    np.testing.assert_allclose(np.asarray(ns.denom),
+                               np.asarray(st2.stats.denom))
+    np.testing.assert_allclose(np.asarray(nbs.denom),
+                               np.asarray(bs2.stats.denom))
+    np.testing.assert_allclose(
+        np.asarray(nbs.xyz_gradient_accum),
+        np.asarray(bs2.stats.xyz_gradient_accum), rtol=1e-4, atol=1e-6)
+    assert nf.means.sharding.spec[0] == "shard"
+    assert nbf.means.sharding.spec[1] == "shard"

@@ -266,6 +266,189 @@ def make_dp_tp_train_step(
     return jax.jit(smapped)
 
 
+def make_tp_full_train_step(
+    mesh,
+    opt_cfg,
+    raster_cfg: RasterizeConfig,
+    spatial_scale: float,
+    cam: CameraParams,
+    use_normal_loss: bool,
+    n_box_slots: int,
+    box_lr_mult: float,
+    boxmodel_lr: float,
+    boxmodel_lambda_reg: float,
+    sh_total_degree: int = 3,
+    k_exch: int | None = None,
+):
+    """The FULL VEGS model (static field + canonical-box instance fields +
+    SE(3)+scale box deltas, reference train.py:112-290) trained with every
+    per-Gaussian tensor sharded: the static field on its capacity axis and
+    each box slot's field on ITS capacity axis (leaves [S, bcap, ...]
+    sharded on axis 1), so composition (box2world transform), rendering,
+    Adam and densify stats all run on 1/D rows per device. Only the box
+    DELTAS (a few dozen floats) are replicated: their gradients flow from
+    each device's own composed rows plus 1/D of the regularizer, so one
+    psum over the shard axis restores the exact single-device gradient and
+    the replicated delta-Adam update stays bit-identical across devices.
+
+    Same update semantics as train.make_train_step (NaN guard on delta
+    grads, box LRs WITHOUT spatial scale, active-slot masking, per-slot
+    densify stats); equivalence test in tests/test_parallel.py.
+
+    fn(field, opt, stats, step, box_fields, box_opt, box_stats, deltas,
+       delta_opt, box2worlds, active, gt, normal, normal_valid,
+       active_sh_degree, bg) ->
+      (field, opt, stats, step+1, box_fields, box_opt, box_stats, deltas,
+       delta_opt, metrics)
+    """
+    from ..boxmodel import BoxDeltas, adjust_box2world
+    from ..render import (_concat_arrays, field_arrays,
+                          transform_field_arrays)
+
+    ndev = mesh.shape[TILE_AXIS]
+    H, W = cam.height, cam.width
+    plan = make_tile_plan(ndev, cam, raster_cfg, k_exch)
+    lam_dssim = opt_cfg.lambda_dssim
+    lam_dnormal = opt_cfg.lambda_dnormal
+
+    def _unstack(tree, i):
+        return jax.tree.map(lambda x: x[i], tree)
+
+    def local_loss(static_params, box_params, delta_params, field_tmpl,
+                   bfields_tmpl, box2worlds, active, m2d_offset, gt, normal,
+                   normal_valid, active_sh_degree, bg):
+        field = optim.with_params(field_tmpl, static_params)
+        parts = [field_arrays(field, active_sh_degree)]
+        bfields = optim.with_params(bfields_tmpl, box_params)
+        deltas = BoxDeltas(**delta_params)
+        b2w_adj = adjust_box2world(box2worlds, deltas)
+        for i in range(n_box_slots):
+            arr = field_arrays(_unstack(bfields, i), active_sh_degree)
+            arr = transform_field_arrays(arr, b2w_adj[i])
+            parts.append(arr._replace(valid=arr.valid & active[i]))
+        arrays = _concat_arrays(parts)
+
+        out_loc, proj, dropped = tile_render_local(
+            plan, cam, raster_cfg, sh_total_degree,
+            arrays.means, arrays.quats, arrays.scales, arrays.opacities,
+            arrays.shs, arrays.valid, means2d_offset=m2d_offset)
+        out = jax.lax.all_gather(out_loc, TILE_AXIS, axis=1, tiled=True)
+        t_fin = out[blend_ref.N_ACCUM, :H, :W]
+        rgb = out[0:3, :H, :W] + t_fin[None] * bg[:, None, None]
+        ll1 = l1_loss(rgb, gt)
+        loss = (1 - lam_dssim) * ll1 + lam_dssim * (1.0 - ssim(rgb, gt))
+        nloss = jnp.float32(0.0)
+        if use_normal_loss:
+            nloss = loss_normal_guidance(
+                out[4:8, :H, :W], out[8:11, :H, :W], normal)
+            loss = loss + lam_dnormal * nloss * normal_valid
+        reg_each = (
+            jnp.linalg.norm(
+                deltas.delta_r - jnp.array([1.0, 0, 0, 0]), axis=-1)
+            + jnp.linalg.norm(deltas.delta_s - 1.0, axis=-1)
+            + jnp.linalg.norm(deltas.delta_t, axis=-1))
+        reg = jnp.sum(reg_each * active.astype(jnp.float32))
+        loss = loss + boxmodel_lambda_reg * reg
+        # /ndev: identical loss on every shard — see make_tp_train_step.
+        return loss / ndev, (proj.radii, ll1, nloss, loss, dropped)
+
+    def sharded_body(field, opt_state, stats, step, bfields, box_opt,
+                     box_stats, deltas, delta_opt, box2worlds, active,
+                     gt, normal, normal_valid, active_sh_degree, bg):
+        c_loc = field.capacity
+        bcap_loc = bfields.means.shape[1]
+        static_params = optim.split_params(field)
+        box_params = optim.split_params(bfields)
+        delta_params = dict(delta_r=deltas.delta_r, delta_s=deltas.delta_s,
+                            delta_t=deltas.delta_t)
+        m2d = jnp.zeros((c_loc + n_box_slots * bcap_loc, 2), jnp.float32)
+
+        (_, aux), grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1, 2, 7), has_aux=True)(
+            static_params, box_params, delta_params, field, bfields,
+            box2worlds, active, m2d, gt, normal, normal_valid,
+            active_sh_degree, bg)
+        g_static, g_box, g_delta, g_m2d = grads
+        radii, ll1, nloss, loss, dropped = aux
+
+        # Deltas are replicated: psum restores the full gradient (render
+        # contributions land on the owning shard; the regularizer
+        # contributes 1/D per device). NaN guard per reference
+        # train.py:198-205.
+        g_delta = jax.tree.map(
+            lambda g: jnp.nan_to_num(jax.lax.psum(g, TILE_AXIS), nan=0.0),
+            g_delta)
+
+        # -- static shard update -----------------------------------------
+        lrs = optim.field_lrs(opt_cfg, spatial_scale, step)
+        new_field, new_opt = optim.adam_step(field, g_static, opt_state, lrs)
+        norm_c, vis_c, rad_c = densify.stats_contribution(
+            g_m2d[:c_loc], radii[:c_loc], H, W)
+        new_stats = densify.apply_stats(stats, norm_c, vis_c, rad_c)
+
+        # -- box shard update (no spatial scale on box LRs) ---------------
+        box_lrs = optim.field_lrs(opt_cfg, 1.0, step,
+                                  xyz_lr_mult=box_lr_mult)
+        bf2, bopt2 = optim.adam_step(bfields, g_box, box_opt, box_lrs)
+
+        def sel_mask(mask):
+            def sel(new, old):
+                m = mask.reshape((-1,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+            return sel
+
+        sel_act = sel_mask(active)
+        bf2 = jax.tree.map(sel_act, bf2, bfields)
+        bopt2 = optim.AdamState(
+            mu=jax.tree.map(sel_act, bopt2.mu, box_opt.mu),
+            nu=jax.tree.map(sel_act, bopt2.nu, box_opt.nu),
+            count=bopt2.count)
+        g_box_m2d = g_m2d[c_loc:].reshape(n_box_slots, bcap_loc, 2)
+        b_radii = radii[c_loc:].reshape(n_box_slots, bcap_loc)
+        bnorm, bvis, brad = jax.vmap(
+            lambda g, r: densify.stats_contribution(g, r, H, W)
+        )(g_box_m2d, b_radii)
+        bstats2 = jax.vmap(densify.apply_stats)(box_stats, bnorm, bvis, brad)
+
+        # -- replicated delta update (identical on every device) ----------
+        nd2, ndo2 = optim.tensor_adam_step(delta_params, g_delta, delta_opt,
+                                           boxmodel_lr)
+        nd2 = {k: sel_act(v, getattr(deltas, k)) for k, v in nd2.items()}
+        new_deltas = BoxDeltas(**nd2)
+
+        metrics = {"loss": loss, "l1": ll1, "normal_loss": nloss,
+                   "num_dropped": dropped}
+        return (new_field, new_opt, new_stats, step + 1, bf2, bopt2,
+                bstats2, new_deltas, ndo2, metrics)
+
+    row = P(TILE_AXIS)
+    brow = P(None, TILE_AXIS)
+    field_spec = GaussianField(
+        means=row, quats=row, log_scales=row, sh_dc=row, sh_rest=row,
+        opacity_logit=row, valid=row)
+    opt_spec = optim.AdamState(mu=field_spec, nu=field_spec, count=P())
+    stats_spec = DensifyStats(
+        max_radii2d=row, xyz_gradient_accum=row, denom=row)
+    bfield_spec = GaussianField(
+        means=brow, quats=brow, log_scales=brow, sh_dc=brow, sh_rest=brow,
+        opacity_logit=brow, valid=brow)
+    bopt_spec = optim.AdamState(mu=bfield_spec, nu=bfield_spec, count=P())
+    bstats_spec = DensifyStats(
+        max_radii2d=brow, xyz_gradient_accum=brow, denom=brow)
+
+    smapped = shard_map(
+        sharded_body,
+        mesh=mesh,
+        in_specs=(field_spec, opt_spec, stats_spec, P(), bfield_spec,
+                  bopt_spec, bstats_spec, P(), P(), P(), P(), P(), P(),
+                  P(), P(), P()),
+        out_specs=(field_spec, opt_spec, stats_spec, P(), bfield_spec,
+                   bopt_spec, bstats_spec, P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 def tp_densify_and_prune(
     mesh,
     field: GaussianField,
