@@ -589,3 +589,44 @@ def test_tp_full_model_step_matches_single_device(rng):
         np.asarray(bs2.stats.xyz_gradient_accum), rtol=1e-4, atol=1e-6)
     assert nf.means.sharding.spec[0] == "shard"
     assert nbf.means.sharding.spec[1] == "shard"
+
+
+def test_tp_training_descends(rng):
+    """The fully sharded step actually LEARNS: render a target from the
+    clean field, perturb the colors, and verify repeated TP steps drive the
+    loss down by 2x and restore PSNR."""
+    from vegs_tpu.parallel.tile_sharded import make_tile_mesh
+    from vegs_tpu.parallel.tp_trainer import (make_tp_train_step,
+                                              shard_train_state)
+    from vegs_tpu.losses import psnr
+    from vegs_tpu.train import eval_render
+    from utils import make_camera
+
+    h, w = 48, 96
+    prng = np.random.default_rng(17)
+    pts = prng.normal(size=(300, 3)).astype(np.float32)
+    cols = prng.uniform(0, 1, (300, 3)).astype(np.float32)
+    clean = gaussians.create_from_points(pts, cols, capacity=512)
+    cam = make_camera(height=h, width=w, t=np.array([0, 0, 4.0]))
+    bg = jnp.zeros(3)
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 13,
+                             payload_dtype="f32")
+    gt = jnp.clip(eval_render(clean, cam, bg, 3, raster).rgb, 0, 1)
+
+    field = clean.replace(sh_dc=clean.sh_dc + 0.35)
+    mesh = make_tile_mesh(8)
+    sf, so, ss = shard_train_state(mesh, field, optim.adam_init(field),
+                                   DensifyStats.zeros(field.capacity))
+    tp = make_tp_train_step(mesh, OptimizationParams(), raster,
+                            spatial_scale=4.0, cam=cam)
+    step = jnp.int32(0)
+    normal = jnp.zeros((3, h, w))
+    losses = []
+    for _ in range(40):
+        sf, so, ss, step, met = tp(sf, so, ss, step, gt, normal,
+                                   jnp.int32(3), bg)
+        losses.append(float(met["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+    recovered = eval_render(jax.device_get(sf), cam, bg, 3, raster)
+    assert float(psnr(jnp.clip(recovered.rgb, 0, 1), gt)) > 22
