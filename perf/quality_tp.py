@@ -1,0 +1,157 @@
+"""Quality evidence for the FULLY SHARDED trainer (tp_trainer).
+
+Trains the same independent ray-traced street oracle as perf/quality_r02.py,
+but through the no-replication path: field/Adam/densify stats sharded over
+an 8-device mesh, tile-sharded rendering with all-to-all splat exchange,
+shard-local Adam, and SHARD-LOCAL densify/recompaction in the loop
+(tp_densify_and_prune). Reports the held-out PSNR trend into
+QUALITY_TP_r02.md.
+
+Runs on the virtual CPU mesh (the only multi-device surface in this image):
+  PYTHONPATH=. JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python perf/quality_tp.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from jax._src import xla_bridge as _xb
+
+if _xb.backends_are_initialized():
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 48, 96
+N_CAMS = 9
+ITERS = int(os.environ.get("VEGS_TP_QUALITY_ITERS", "400"))
+EVAL_EVERY = 50
+DENSIFY_FROM, DENSIFY_UNTIL, DENSIFY_EVERY = 100, 300, 100
+NDEV = 8
+
+
+def main():
+    from vegs_tpu import gaussians, optim
+    from vegs_tpu.config import OptimizationParams
+    from vegs_tpu.gaussians import DensifyStats
+    from vegs_tpu.losses import psnr
+    from vegs_tpu.ops.rasterize import RasterizeConfig
+    from vegs_tpu.parallel.tile_sharded import make_tile_mesh
+    from vegs_tpu.parallel.tp_trainer import (
+        make_tp_train_step, shard_train_state, tp_densify_and_prune)
+    from vegs_tpu.scene.dataset_readers import camera_from_info
+    from vegs_tpu.train import eval_render
+    from vegs_tpu.utils import synthetic as syn
+
+    rng = np.random.default_rng(0)
+    infos = syn.street_camera_infos(N_CAMS, H, W)
+    cams = [camera_from_info(ci) for ci in infos]
+    train_cams = [c for i, c in enumerate(cams) if i % 8 != 0]
+    test_cams = [c for i, c in enumerate(cams) if i % 8 == 0]
+    pts, cols = syn.sample_scene_points(rng, n_ground=2500, n_box=500)
+    field = gaussians.create_from_points(pts, cols, capacity=4096)
+
+    opt_cfg = OptimizationParams()
+    opt_cfg.densify_grad_threshold = 0.0004
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 14)
+    mesh = make_tile_mesh(NDEV)
+    bg = jnp.zeros(3)
+    spatial = 6.0
+
+    sf, so, ss = shard_train_state(
+        mesh, field, optim.adam_init(field),
+        DensifyStats.zeros(field.capacity))
+    # One step fn: jit re-specializes per capacity bucket automatically.
+    step_fn = make_tp_train_step(mesh, opt_cfg, raster, spatial_scale=spatial,
+                                 cam=train_cams[0].device_params())
+
+    def evaluate():
+        f = jax.device_get(sf)
+        vals = []
+        for c in test_cams:
+            out = eval_render(f, c.device_params(), bg, 3, raster)
+            vals.append(float(psnr(jnp.clip(out.rgb, 0, 1),
+                                   jnp.asarray(c.original_image))))
+        return float(np.mean(vals))
+
+    key = jax.random.key(11)
+    host_rng = np.random.default_rng(3)
+    step = jnp.int32(0)
+    t0 = time.time()
+    trend = [(0, evaluate(), int(jax.device_get(sf).num_active()))]
+    print(f"iter 0: psnr {trend[0][1]:.2f} n={trend[0][2]}", flush=True)
+    normal = jnp.zeros((3, H, W))
+    for it in range(1, ITERS + 1):
+        cam = train_cams[int(host_rng.integers(len(train_cams)))]
+        gt = jnp.asarray(cam.original_image)
+        deg = min(it // 1000, 3)
+        sf, so, ss, step, met = step_fn(
+            sf, so, ss, step, cam.device_params(), gt, normal,
+            jnp.int32(deg), bg)
+        if (DENSIFY_FROM < it <= DENSIFY_UNTIL
+                and it % DENSIFY_EVERY == 0):
+            key, sub = jax.random.split(key)
+            sf, so, ss, n = tp_densify_and_prune(
+                mesh, sf, so, ss, sub,
+                grad_threshold=opt_cfg.densify_grad_threshold,
+                percent_dense=opt_cfg.percent_dense, extent=spatial)
+            print(f"  densify at {it}: n={n} cap={sf.capacity}", flush=True)
+        if it <= 3 or it % 20 == 0:
+            print(f"  it {it}: total {time.time()-t0:.0f}s", flush=True)
+        if it % EVAL_EVERY == 0:
+            p = evaluate()
+            n = int(jax.device_get(sf).num_active())
+            trend.append((it, p, n))
+            print(f"iter {it}: psnr {p:.2f} n={n} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    lines = [
+        "# QUALITY_TP_r02 — fully sharded trainer quality evidence",
+        "",
+        "Same independent ray-traced street oracle as QUALITY_r02.md, trained",
+        "through `vegs_tpu/parallel/tp_trainer.py`: field + Adam + densify",
+        "stats sharded over an 8-device mesh (virtual CPU devices — the only",
+        "multi-device surface in this image), tile-sharded rendering with",
+        "all-to-all splat exchange, shard-local Adam, and SHARD-LOCAL",
+        "densify/recompaction (tp_densify_and_prune) in the loop.",
+        f"{H}x{W}, {N_CAMS} cameras, idx%8 split, densify window",
+        f"[{DENSIFY_FROM}, {DENSIFY_UNTIL}] every {DENSIFY_EVERY}.",
+        "",
+        "| iteration | held-out PSNR (dB) | active Gaussians |",
+        "|---|---|---|",
+    ]
+    for it, p, n in trend:
+        lines.append(f"| {it} | {p:.2f} | {n} |")
+    lines += [
+        "",
+        f"Wall-clock: {time.time()-t0:.0f} s (dense golden backend on the",
+        "8-device virtual CPU mesh; production is the pallas backend on a",
+        "real multi-chip slice).",
+        "Reproduce: see this file's docstring.",
+    ]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUALITY_TP_r02.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

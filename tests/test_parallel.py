@@ -336,7 +336,7 @@ def test_tp_step_matches_single_device(rng):
                                    DensifyStats.zeros(field.capacity))
     tp = make_tp_train_step(mesh, opt_cfg, raster, spatial_scale=4.0,
                             cam=cam, use_normal_loss=True)
-    nf, no, ns, nstep, met = tp(sf, so, ss, jnp.int32(0), gt, normal,
+    nf, no, ns, nstep, met = tp(sf, so, ss, jnp.int32(0), cam, gt, normal,
                                 jnp.int32(3), bg)
 
     assert int(met["num_dropped"]) == 0
@@ -558,7 +558,7 @@ def test_tp_full_model_step_matches_single_device(rng):
         n_box_slots=S, **kw)
     (nf, no, ns, nstep, nbf, nbo, nbs, ndl, ndo, met) = tp(
         sf, so, ss, jnp.int32(0), put_b(bfields), put_b(box_opt),
-        put_b(box_stats), deltas, delta_opt, b2w, active, gt, normal,
+        put_b(box_stats), deltas, delta_opt, b2w, active, cam, gt, normal,
         jnp.float32(1.0), jnp.int32(3), bg)
 
     np.testing.assert_allclose(float(met["loss"]), float(bmet["loss"]),
@@ -623,7 +623,7 @@ def test_tp_training_descends(rng):
     normal = jnp.zeros((3, h, w))
     losses = []
     for _ in range(40):
-        sf, so, ss, step, met = tp(sf, so, ss, step, gt, normal,
+        sf, so, ss, step, met = tp(sf, so, ss, step, cam, gt, normal,
                                    jnp.int32(3), bg)
         losses.append(float(met["loss"]))
     assert np.isfinite(losses).all()

@@ -74,9 +74,15 @@ def make_tp_train_step(
 ):
     """Build the jitted fully-sharded step.
 
+    `cam` at build time is a TEMPLATE — only its static height/width shape
+    the compiled program; the step takes the actual camera as a traced
+    argument, so one compilation serves every training camera at that
+    resolution.
+
     Inputs (per call):
       field, opt, stats — ALL sharded on axis 0 (see shard_train_state)
       step: scalar int32 — replicated
+      cam: CameraParams — replicated
       gt: [3, H, W], normal: [3, H, W] — replicated
       active_sh_degree: scalar int32, bg: [3] — replicated
     Returns (field, opt, stats, step, metrics) with the same shardings.
@@ -87,7 +93,7 @@ def make_tp_train_step(
     lam_dssim = opt_cfg.lambda_dssim
     lam_dnormal = opt_cfg.lambda_dnormal
 
-    def local_loss(params, field_tmpl, m2d_offset, gt, normal,
+    def local_loss(params, field_tmpl, m2d_offset, cam, gt, normal,
                    active_sh_degree, bg):
         field = optim.with_params(field_tmpl, params)
         mask = sh_band_mask(active_sh_degree)[None, :, None]
@@ -114,13 +120,13 @@ def make_tp_train_step(
         # units and must not inflate).
         return loss / ndev, (proj.radii, ll1, loss, dropped)
 
-    def sharded_body(field, opt_state, stats, step, gt, normal,
+    def sharded_body(field, opt_state, stats, step, cam, gt, normal,
                      active_sh_degree, bg):
         params = optim.split_params(field)
         m2d = jnp.zeros((field.capacity, 2), jnp.float32)  # local rows
         (_, (radii, ll1, loss, dropped)), (g_params, g_m2d) = (
             jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
-            (params, field, m2d, gt, normal, active_sh_degree, bg))
+            (params, field, m2d, cam, gt, normal, active_sh_degree, bg))
 
         # No gradient collective: every Gaussian lives on exactly one shard.
         lrs = optim.field_lrs(opt_cfg, spatial_scale, step)
@@ -141,11 +147,15 @@ def make_tp_train_step(
     stats_spec = DensifyStats(
         max_radii2d=P(TILE_AXIS), xyz_gradient_accum=P(TILE_AXIS),
         denom=P(TILE_AXIS))
+    cam_spec = CameraParams(
+        viewmatrix=P(), projmatrix=P(), campos=P(),
+        tan_fovx=P(), tan_fovy=P(), height=H, width=W)
 
     smapped = shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(field_spec, opt_spec, stats_spec, P(), P(), P(), P(), P()),
+        in_specs=(field_spec, opt_spec, stats_spec, P(), cam_spec, P(), P(),
+                  P(), P()),
         out_specs=(field_spec, opt_spec, stats_spec, P(), P()),
         check_vma=False,
     )
@@ -293,10 +303,12 @@ def make_tp_full_train_step(
 
     Same update semantics as train.make_train_step (NaN guard on delta
     grads, box LRs WITHOUT spatial scale, active-slot masking, per-slot
-    densify stats); equivalence test in tests/test_parallel.py.
+    densify stats); equivalence test in tests/test_parallel.py. The build
+    `cam` is a shape template; the step takes the camera as a traced
+    argument (one compile per resolution, not per camera).
 
     fn(field, opt, stats, step, box_fields, box_opt, box_stats, deltas,
-       delta_opt, box2worlds, active, gt, normal, normal_valid,
+       delta_opt, box2worlds, active, cam, gt, normal, normal_valid,
        active_sh_degree, bg) ->
       (field, opt, stats, step+1, box_fields, box_opt, box_stats, deltas,
        delta_opt, metrics)
@@ -315,8 +327,8 @@ def make_tp_full_train_step(
         return jax.tree.map(lambda x: x[i], tree)
 
     def local_loss(static_params, box_params, delta_params, field_tmpl,
-                   bfields_tmpl, box2worlds, active, m2d_offset, gt, normal,
-                   normal_valid, active_sh_degree, bg):
+                   bfields_tmpl, box2worlds, active, m2d_offset, cam, gt,
+                   normal, normal_valid, active_sh_degree, bg):
         field = optim.with_params(field_tmpl, static_params)
         parts = [field_arrays(field, active_sh_degree)]
         bfields = optim.with_params(bfields_tmpl, box_params)
@@ -354,7 +366,7 @@ def make_tp_full_train_step(
 
     def sharded_body(field, opt_state, stats, step, bfields, box_opt,
                      box_stats, deltas, delta_opt, box2worlds, active,
-                     gt, normal, normal_valid, active_sh_degree, bg):
+                     cam, gt, normal, normal_valid, active_sh_degree, bg):
         c_loc = field.capacity
         bcap_loc = bfields.means.shape[1]
         static_params = optim.split_params(field)
@@ -366,7 +378,7 @@ def make_tp_full_train_step(
         (_, aux), grads = jax.value_and_grad(
             local_loss, argnums=(0, 1, 2, 7), has_aux=True)(
             static_params, box_params, delta_params, field, bfields,
-            box2worlds, active, m2d, gt, normal, normal_valid,
+            box2worlds, active, m2d, cam, gt, normal, normal_valid,
             active_sh_degree, bg)
         g_static, g_box, g_delta, g_m2d = grads
         radii, ll1, nloss, loss, dropped = aux
@@ -435,13 +447,16 @@ def make_tp_full_train_step(
     bopt_spec = optim.AdamState(mu=bfield_spec, nu=bfield_spec, count=P())
     bstats_spec = DensifyStats(
         max_radii2d=brow, xyz_gradient_accum=brow, denom=brow)
+    cam_spec = CameraParams(
+        viewmatrix=P(), projmatrix=P(), campos=P(),
+        tan_fovx=P(), tan_fovy=P(), height=H, width=W)
 
     smapped = shard_map(
         sharded_body,
         mesh=mesh,
         in_specs=(field_spec, opt_spec, stats_spec, P(), bfield_spec,
-                  bopt_spec, bstats_spec, P(), P(), P(), P(), P(), P(),
-                  P(), P(), P()),
+                  bopt_spec, bstats_spec, P(), P(), P(), P(), cam_spec,
+                  P(), P(), P(), P(), P()),
         out_specs=(field_spec, opt_spec, stats_spec, P(), bfield_spec,
                    bopt_spec, bstats_spec, P(), P(), P()),
         check_vma=False,
