@@ -29,6 +29,10 @@ if BACKEND == "dense":
     jax.config.update("jax_platforms", "cpu")
     from jax._src import xla_bridge as _xb
 
+    # A downed TPU tunnel makes axon plugin init hang
+    # (see tests/conftest.py).
+    _xb._backend_factories.pop("axon", None)
+
     if _xb.backends_are_initialized():
         from jax.extend.backend import clear_backends
 

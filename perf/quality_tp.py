@@ -10,7 +10,10 @@ QUALITY_TP_r02.md.
 Runs on the virtual CPU mesh (the only multi-device surface in this image):
   PYTHONPATH=. JAX_PLATFORMS=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  python perf/quality_tp.py
+  env -u PALLAS_AXON_POOL_IPS python perf/quality_tp.py
+(`env -u PALLAS_AXON_POOL_IPS` skips the axon PJRT registration in
+sitecustomize — when the TPU tunnel is down its init hangs every JAX
+process, CPU-only runs included.)
 """
 
 import os
@@ -31,6 +34,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from jax._src import xla_bridge as _xb
 
+# A downed TPU tunnel makes axon plugin init hang (see tests/conftest.py).
+_xb._backend_factories.pop("axon", None)
+
 if _xb.backends_are_initialized():
     from jax.extend.backend import clear_backends
 
@@ -41,7 +47,7 @@ import numpy as np
 
 H, W = 48, 96
 N_CAMS = 9
-ITERS = int(os.environ.get("VEGS_TP_QUALITY_ITERS", "400"))
+ITERS = int(os.environ.get("VEGS_TP_QUALITY_ITERS", "300"))
 EVAL_EVERY = 50
 DENSIFY_FROM, DENSIFY_UNTIL, DENSIFY_EVERY = 100, 300, 100
 NDEV = 8
@@ -65,28 +71,42 @@ def main():
     cams = [camera_from_info(ci) for ci in infos]
     train_cams = [c for i, c in enumerate(cams) if i % 8 != 0]
     test_cams = [c for i, c in enumerate(cams) if i % 8 == 0]
-    pts, cols = syn.sample_scene_points(rng, n_ground=2500, n_box=500)
-    field = gaussians.create_from_points(pts, cols, capacity=4096)
+    # CPU-mesh scale: the dense golden blend is O(points) per device.
+    pts, cols = syn.sample_scene_points(rng, n_ground=700, n_box=150,
+                                        n_sky=1500)
+    field = gaussians.create_from_points(
+        pts, cols, capacity=gaussians.round_capacity(pts.shape[0], 512))
 
     opt_cfg = OptimizationParams()
     opt_cfg.densify_grad_threshold = 0.0004
-    raster = RasterizeConfig(backend="dense", k_cap=1 << 14)
     mesh = make_tile_mesh(NDEV)
     bg = jnp.zeros(3)
     spatial = 6.0
 
+    def kcap_for(n_active):
+        # ~2 instances per active Gaussian observed at this scene scale;
+        # 3x margin, 4096-aligned so step time stays CPU-mesh-feasible.
+        return max(8192, -(-3 * n_active // 4096) * 4096)
+
+    def build_step(n_active):
+        raster = RasterizeConfig(backend="dense", k_cap=kcap_for(n_active))
+        return raster, make_tp_train_step(
+            mesh, opt_cfg, raster, spatial_scale=spatial,
+            cam=train_cams[0].device_params())
+
     sf, so, ss = shard_train_state(
         mesh, field, optim.adam_init(field),
         DensifyStats.zeros(field.capacity))
-    # One step fn: jit re-specializes per capacity bucket automatically.
-    step_fn = make_tp_train_step(mesh, opt_cfg, raster, spatial_scale=spatial,
-                                 cam=train_cams[0].device_params())
+    # jit re-specializes per capacity bucket automatically; k_cap is
+    # re-chosen (step_fn rebuilt) after each densify event.
+    raster, step_fn = build_step(int(jax.device_get(sf).num_active()))
+    eval_raster = RasterizeConfig(backend="dense", k_cap=1 << 15)
 
     def evaluate():
         f = jax.device_get(sf)
         vals = []
         for c in test_cams:
-            out = eval_render(f, c.device_params(), bg, 3, raster)
+            out = eval_render(f, c.device_params(), bg, 3, eval_raster)
             vals.append(float(psnr(jnp.clip(out.rgb, 0, 1),
                                    jnp.asarray(c.original_image))))
         return float(np.mean(vals))
@@ -112,9 +132,13 @@ def main():
                 mesh, sf, so, ss, sub,
                 grad_threshold=opt_cfg.densify_grad_threshold,
                 percent_dense=opt_cfg.percent_dense, extent=spatial)
-            print(f"  densify at {it}: n={n} cap={sf.capacity}", flush=True)
+            if kcap_for(n) != raster.k_cap:
+                raster, step_fn = build_step(n)
+            print(f"  densify at {it}: n={n} cap={sf.capacity} "
+                  f"k_cap={raster.k_cap}", flush=True)
         if it <= 3 or it % 20 == 0:
-            print(f"  it {it}: total {time.time()-t0:.0f}s", flush=True)
+            print(f"  it {it}: total {time.time()-t0:.0f}s "
+                  f"dropped={int(met['num_dropped'])}", flush=True)
         if it % EVAL_EVERY == 0:
             p = evaluate()
             n = int(jax.device_get(sf).num_active())

@@ -21,6 +21,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 from jax._src import xla_bridge as _xb  # noqa: E402
 
+# Deregister the axon factory entirely: jax initializes every registered
+# plugin at first backend use even with jax_platforms=cpu, and when the
+# TPU tunnel is down the axon init HANGS (not fails), wedging CPU-only
+# test runs.
+_xb._backend_factories.pop("axon", None)
+
 if _xb.backends_are_initialized():  # pragma: no cover
     from jax.extend.backend import clear_backends
 
