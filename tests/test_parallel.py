@@ -118,6 +118,10 @@ def test_dp_full_trainer_with_boxes(tmp_path, rng):
     # densify stats accumulated per view: denom counts 2 cameras per step
     # for Gaussians seen by both
     assert float(np.asarray(tr.state.stats.denom).max()) >= 2.0
+    # explicit-camera API keeps working under DP (camera replicated across
+    # the batch; psum/D of identical grads == the single-camera gradient)
+    m = tr.train_iteration(6, camera=scene.train_cameras[0])
+    assert np.isfinite(m["loss"])
 
 
 def test_dp_densify_stats_match_sequential(rng):

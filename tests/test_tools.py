@@ -137,6 +137,90 @@ def test_viewer_roundtrip(rng):
     srv.close()
 
 
+def test_viewer_sibr_wire_format(rng):
+    """Byte-level scripted SIBR client (wire format of the reference's
+    network_gui.py:34-86): a keep-alive empty-camera message, then a full
+    camera packet with every field the real client sends (incl. the
+    shs_python/rot_scale_python toggles we ignore), a NON-identity view
+    matrix — asserting the server applies the y/z column sign flips — and
+    framed image + length-prefixed verify-string reads."""
+    from vegs_tpu.viewer import ViewerServer
+
+    srv = ViewerServer(port=0)
+    port = srv.listener.getsockname()[1]
+    h, w = 5, 7
+    seen = {}
+    result = {}
+
+    view = np.eye(4)
+    view[3, :3] = [1.0, 2.0, 3.0]       # camera translation row (glm layout)
+    view[:, 1] *= -1   # pre-flip so the server's column flips restore it
+    view[:, 2] *= -1
+
+    def send_msg(c, payload):
+        msg = json.dumps(payload).encode()
+        c.sendall(len(msg).to_bytes(4, "little"))
+        c.sendall(msg)
+
+    def recv_exact(c, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = c.recv(n - len(buf))
+            assert chunk, "connection closed early"
+            buf += chunk
+        return buf
+
+    def client():
+        c = socket.create_connection(("127.0.0.1", port))
+        # 1) keep-alive: zero resolution -> no image, just the verify string
+        send_msg(c, {"resolution_x": 0, "resolution_y": 0})
+        n = int.from_bytes(recv_exact(c, 4), "little")
+        result["verify0"] = recv_exact(c, n)
+        # 2) full camera packet (all reference fields)
+        send_msg(c, {
+            "resolution_x": w, "resolution_y": h, "train": True,
+            "fov_y": 0.8, "fov_x": 1.0, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": False, "rot_scale_python": False,
+            "keep_alive": False, "scaling_modifier": 1.5,
+            "view_matrix": list(view.flatten().astype(float)),
+            "view_projection_matrix": list(view.flatten().astype(float)),
+        })
+        result["image"] = recv_exact(c, h * w * 3)
+        n = int.from_bytes(recv_exact(c, 4), "little")
+        result["verify"] = recv_exact(c, n)
+        c.close()
+
+    th = threading.Thread(target=client)
+    th.start()
+
+    def render_fn(cam, scale):
+        seen["cam"] = cam
+        seen["scale"] = scale
+        img = np.zeros((h, w, 3), np.float32)
+        img[..., 0] = 1.0
+        return img
+
+    import time as _time
+
+    for _ in range(400):
+        srv.poll(render_fn, source_path="model/path")
+        if "verify" in result:
+            break
+        _time.sleep(0.02)
+    th.join(timeout=10)
+    assert result.get("verify0") == b"model/path"
+    assert result.get("verify") == b"model/path"
+    assert result["image"][:3] == b"\xff\x00\x00"  # red, row-major RGB
+    assert seen["scale"] == 1.5
+    cam = seen["cam"]
+    # the server must flip columns 1 and 2 (glm -> our convention),
+    # undoing the client-side pre-flip
+    np.testing.assert_allclose(cam.world_view_transform[:3, :3], np.eye(3),
+                               atol=1e-12)
+    np.testing.assert_allclose(cam.world_view_transform[3, :3], [1, 2, 3])
+    srv.close()
+
+
 def test_lora_train_driver(tmp_path, rng):
     """Per-segment LoRA driver: segment parsing (reference txt format) and
     end-to-end tiny training writing the lora_weights.pkl layout train.main

@@ -51,20 +51,14 @@ def update_stats(
     The reference accumulates ||grad|| of NDC-scaled screenspace points
     (train.py:296-300 via add_densification_stats); our tap is in pixels, so
     scale by (W/2, H/2) to keep densify_grad_threshold=0.0002 compatible.
+
+    Single-view convenience over the canonical contribution/apply pair
+    (one formula — the trainers reduce stats_contribution across views and
+    fold with apply_stats).
     """
-    vis = radii > 0
-    g = means2d_grad * jnp.array(
-        [image_width * 0.5, image_height * 0.5], means2d_grad.dtype
-    )
-    norm = jnp.linalg.norm(g, axis=-1)
-    return DensifyStats(
-        max_radii2d=jnp.where(
-            vis, jnp.maximum(stats.max_radii2d, radii.astype(jnp.float32)),
-            stats.max_radii2d,
-        ),
-        xyz_gradient_accum=stats.xyz_gradient_accum + jnp.where(vis, norm, 0.0),
-        denom=stats.denom + vis.astype(jnp.float32),
-    )
+    return apply_stats(
+        stats,
+        *stats_contribution(means2d_grad, radii, image_height, image_width))
 
 
 def stats_contribution(

@@ -17,9 +17,9 @@ Layout contract (consumed by blend kernels):
     sort_keys == SENTINEL.
   * Instances within a tile are depth-ordered (quantized 19-bit keys).
 
-Static-shape contract: instance capacity `k_cap` (multiple of 128) is fixed;
-overflow drops instances from the tail and `num_dropped` reports how many —
-no silent truncation.
+Static-shape contract: instance capacity `k_cap` (multiple of 512 — the
+blocked-cumsum block size) is fixed; overflow drops instances from the tail
+and `num_dropped` reports how many — no silent truncation.
 
 Key packing: key = tile_id << 19 | (float32_bits(depth) >> 12). Positive-float
 bit patterns are order-preserving, so the low 19 bits sort by depth with ~10
@@ -110,7 +110,9 @@ class Binned(NamedTuple):
 def _blocked_cumsum_1d(x: jax.Array, block: int = 512) -> jax.Array:
     """Two-level inclusive cumsum (one long scan is slow on TPU)."""
     k = x.shape[0]
-    assert k % block == 0
+    assert k % block == 0, (
+        f"length {k} must be a multiple of the cumsum block ({block}); "
+        "size k_cap in 512-slot units")
     xb = x.reshape(k // block, block)
     inner = jnp.cumsum(xb, axis=1)
     tot = inner[:, -1]
@@ -183,7 +185,9 @@ def bin_raw(
     every downstream stage is O(k_cap), so fewer instances compound.
     """
     n = means2d.shape[0]
-    assert k_cap % PAD_ALIGN == 0, "k_cap must be a multiple of PAD_ALIGN"
+    assert k_cap % 512 == 0, (
+        "k_cap must be a multiple of 512 (PAD_ALIGN and the blocked-cumsum "
+        "block)")
     num_tiles = grid.num_tiles
     do_cull = conics is not None and opacities is not None
 

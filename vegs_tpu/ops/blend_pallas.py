@@ -24,10 +24,11 @@ The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with a
 two-pass-per-chunk scheme: pass 1 locates each pixel's first crossing from
 the unmasked trajectory (identical up to the first crossing), pass 2 re-runs
 the prefix sum with post-crossing instances excluded, freezing T exactly as
-the sequential loop does — and pass 2 only executes (pl.when + scratch-ref
-staging) for the rare chunks where a crossing actually occurs. Whole
-superchunks are skipped once every pixel in the tile has crossed
-(lax.while_loop with DMA drain).
+the sequential loop does. Both passes run unconditionally — every measured
+skip variant was slower or failed to legalize (see the comment in
+_chunk_common and NOTES_PERF.md "tried and rejected"). Whole superchunks ARE
+skipped once every pixel in the tile has crossed (lax.while_loop with DMA
+drain).
 
 The backward pass needs no atomics: binning's superchunk-aligned layout gives
 every 512-instance superchunk to exactly one tile, so per-instance gradients
@@ -95,14 +96,11 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     cf: [F32_ROWS, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
     Pixel-major ([P, CHUNK]) keeps the instance axis on VPU lanes.
 
-    The early-exit (T < 1e-4) semantics need a second, crossing-aware prefix
-    pass — but only for the (rare) chunks where some pixel actually crosses.
-    lax.cond with vector results does not legalize in Mosaic, so the
-    inclusion set / transmittance are STAGED through scratch refs: pass-1
-    values are written unconditionally, then a pl.when body overwrites them
-    with the exact pass-2 trajectory iff a crossing happened (skipping the
-    second [P,C]x[C,C] MXU matmul ~85% of the time). Callers read
-    (include, Ti, alpha_inc) from the refs.
+    The early-exit (T < 1e-4) semantics need a second, crossing-aware
+    prefix pass; BOTH passes run unconditionally (conditional skips were
+    measured slower / non-legalizable — see the pass-2 comment below).
+    Results (include, Ti, alpha_inc) are staged through the scratch refs
+    for the callers.
     """
     f32 = jnp.float32
     mx = cf[0:1, :] - ox            # [1, C] tile-local

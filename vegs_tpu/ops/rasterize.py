@@ -76,6 +76,35 @@ def _gather_rows_aux(table: jax.Array, idx: jax.Array) -> jax.Array:
     return table[idx]
 
 
+def build_payload(proj, quat_n: jax.Array, scales: jax.Array, aux_dtype):
+    """THE mixed-precision payload layout (single source of truth; consumed
+    by every blend path — single-device, gauss-sharded, tile-sharded).
+
+    pay_f32 [N, 8]:  means2d (0:2), conics (2:5), opacity (5), depth (6),
+                     pad (7).
+    pay_aux [N, 16]: rgb (0:3), quat (3:7), scale (7:10), pad (10:16),
+                     cast to `aux_dtype` (bf16 in production).
+    """
+    n = proj.means2d.shape[0]
+    pay_f32 = jnp.concatenate(
+        [proj.means2d, proj.conics, proj.opacities[:, None],
+         proj.depths[:, None], jnp.zeros((n, 1), jnp.float32)],
+        axis=1)
+    pay_aux = jnp.concatenate(
+        [proj.rgb, quat_n, scales,
+         jnp.zeros((n, AUX_COLS - 10), jnp.float32)],
+        axis=1).astype(aux_dtype)
+    return pay_f32, pay_aux
+
+
+def assemble_dense_payload(pf: jax.Array, pa: jax.Array) -> jax.Array:
+    """Reassemble expanded (pf [K,8], pa [K,16]) rows into the classic
+    [17, K] f32 column layout the golden blend_ref consumes."""
+    pa_f = pa.astype(jnp.float32)
+    return jnp.concatenate(
+        [pf[:, :6], pa_f[:, 0:3], pf[:, 6:7], pa_f[:, 3:10]], axis=1).T
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def gather_expand(pay_f32: jax.Array, pay_aux: jax.Array, gidx: jax.Array,
                   order: jax.Array, ends: jax.Array):
@@ -206,25 +235,7 @@ def rasterize(
 
     aux_dtype = jnp.bfloat16 if config.payload_dtype == "bf16" else jnp.float32
 
-    pay_f32 = jnp.concatenate(
-        [
-            proj.means2d,                       # cols 0-1
-            proj.conics,                        # cols 2-4
-            proj.opacities[:, None],            # col 5
-            proj.depths[:, None],               # col 6
-            jnp.zeros((n, 1), jnp.float32),     # col 7 pad
-        ],
-        axis=1,
-    )  # [N, 8]
-    pay_aux = jnp.concatenate(
-        [
-            proj.rgb,                           # cols 0-2
-            quat_n,                             # cols 3-6
-            scale_eff,                          # cols 7-9
-            jnp.zeros((n, AUX_COLS - 10), jnp.float32),
-        ],
-        axis=1,
-    ).astype(aux_dtype)  # [N, 16]
+    pay_f32, pay_aux = build_payload(proj, quat_n, scale_eff, aux_dtype)
 
     backend = _resolve_backend(config.backend)
     binned = binning.bin_gaussians(
@@ -260,9 +271,7 @@ def rasterize(
 
     if backend == "dense":
         # Assemble the classic [17, K] f32 layout for the golden reference.
-        pa_f = pa.astype(jnp.float32)
-        payload_sorted = jnp.concatenate(
-            [pf[:, :6], pa_f[:, 0:3], pf[:, 6:7], pa_f[:, 3:10]], axis=1).T
+        payload_sorted = assemble_dense_payload(pf, pa)
         out = blend_ref.blend_dense(
             payload_sorted, binned.sort_keys, binned.tile_starts, grid, H, W
         )

@@ -33,6 +33,7 @@ from ..gaussians import GaussianField
 from ..ops import binning, blend_ref
 from ..ops.projection import CameraParams, project
 from ..ops.rasterize import (AUX_COLS, F32_COLS, RasterizeConfig, RasterOut,
+                             assemble_dense_payload, build_payload,
                              gather_expand)
 
 GAUSS_AXIS = "gauss"
@@ -66,46 +67,33 @@ def make_gauss_sharded_rasterize(mesh, cam: CameraParams,
         proj = project(means, cov6, opac, shs, cam, sh_degree=sh_degree,
                        valid=valid)
         quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
-        n_loc = means.shape[0]
         aux_dtype = (jnp.bfloat16 if config.payload_dtype == "bf16"
                      else jnp.float32)
-        pay_f32 = jnp.concatenate(
-            [proj.means2d, proj.conics, proj.opacities[:, None],
-             proj.depths[:, None], jnp.zeros((n_loc, 1), jnp.float32)],
-            axis=1)
-        pay_aux = jnp.concatenate(
-            [proj.rgb, quat_n, scales,
-             jnp.zeros((n_loc, AUX_COLS - 10), jnp.float32)],
-            axis=1).astype(aux_dtype)
+        pay_f32, pay_aux = build_payload(proj, quat_n, scales, aux_dtype)
 
         # ---- gather the compact rows; binning/blend replicated -----------
         pay_f32 = jax.lax.all_gather(pay_f32, GAUSS_AXIS, tiled=True)
         pay_aux = jax.lax.all_gather(pay_aux, GAUSS_AXIS, tiled=True)
-        means2d = jax.lax.all_gather(proj.means2d, GAUSS_AXIS, tiled=True)
-        depths = jax.lax.all_gather(proj.depths, GAUSS_AXIS, tiled=True)
         radii_xy = jax.lax.all_gather(proj.radii_xy, GAUSS_AXIS, tiled=True)
-        conics_g = jax.lax.all_gather(proj.conics, GAUSS_AXIS, tiled=True)
-        opac_g = jax.lax.all_gather(proj.opacities, GAUSS_AXIS, tiled=True)
+        # Binning's geometry inputs are slices of the gathered pay_f32
+        # (cols: means2d 0:2, conics 2:5, opacity 5, depth 6) — no second
+        # gather of the same data.
+        pf_sg = jax.lax.stop_gradient(pay_f32)
 
         grid = binning.TileGrid.for_image(cam.height, cam.width,
                                           config.tile_h, config.tile_w)
         b = binning.bin_gaussians(
-            jax.lax.stop_gradient(means2d), jax.lax.stop_gradient(depths),
-            radii_xy, grid, config.k_cap,
-            conics=jax.lax.stop_gradient(conics_g),
-            opacities=jax.lax.stop_gradient(opac_g))
+            pf_sg[:, 0:2], pf_sg[:, 6], radii_xy, grid, config.k_cap,
+            conics=pf_sg[:, 2:5], opacities=pf_sg[:, 5])
         ends = jnp.concatenate([b.gauss_ends, b.gauss_ends[-1:]])
         pf, pa = gather_expand(
             jnp.pad(pay_f32, ((0, 1), (0, 0))),
             jnp.pad(pay_aux, ((0, 1), (0, 0))), b.gidx, b.order, ends)
         H, W = cam.height, cam.width
         if config.backend == "dense":
-            pa_f = pa.astype(jnp.float32)
-            payload_sorted = jnp.concatenate(
-                [pf[:, :6], pa_f[:, 0:3], pf[:, 6:7], pa_f[:, 3:10]],
-                axis=1).T
             out = blend_ref.blend_dense(
-                payload_sorted, b.sort_keys, b.tile_starts, grid, H, W)
+                assemble_dense_payload(pf, pa), b.sort_keys, b.tile_starts,
+                grid, H, W)
         else:
             from ..ops import blend_pallas
 

@@ -47,7 +47,9 @@ from .. import geometry
 from ..ops import binning, blend_ref
 from ..ops.binning import PAD_ALIGN, SENTINEL, TILE_SHIFT, TileGrid
 from ..ops.projection import CameraParams, project
-from ..ops.rasterize import AUX_COLS, RasterizeConfig, gather_expand
+from ..ops.rasterize import (AUX_COLS, RasterizeConfig,
+                             assemble_dense_payload, build_payload,
+                             gather_expand)
 
 TILE_AXIS = "shard"
 
@@ -120,14 +122,7 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
     proj = project(means, cov6, opac, shs, cam, sh_degree=sh_degree,
                    valid=valid, means2d_offset=means2d_offset)
     quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
-    pay_f32 = jnp.concatenate(
-        [proj.means2d, proj.conics, proj.opacities[:, None],
-         proj.depths[:, None], jnp.zeros((n_loc, 1), jnp.float32)],
-        axis=1)
-    pay_aux = jnp.concatenate(
-        [proj.rgb, quat_n, scales,
-         jnp.zeros((n_loc, AUX_COLS - 10), jnp.float32)],
-        axis=1).astype(aux_dtype)
+    pay_f32, pay_aux = build_payload(proj, quat_n, scales, aux_dtype)
 
     rb = binning.bin_raw(
         jax.lax.stop_gradient(proj.means2d),
@@ -202,12 +197,9 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
 
     grid_loc = TileGrid(grid.tile_h, grid.tile_w, grid.ntx, nty_loc)
     if config.backend == "dense":
-        pa_f = pa_pad.astype(jnp.float32)
-        payload_sorted = jnp.concatenate(
-            [pf_pad[:, :6], pa_f[:, 0:3], pf_pad[:, 6:7], pa_f[:, 3:10]],
-            axis=1).T
         out = blend_ref.blend_dense(
-            payload_sorted, keys_pad, tile_starts, grid_loc, hp_loc, wp)
+            assemble_dense_payload(pf_pad, pa_pad), keys_pad, tile_starts,
+            grid_loc, hp_loc, wp)
     else:
         from ..ops import blend_pallas
 

@@ -594,8 +594,14 @@ class Trainer:
 
     # -- one iteration ------------------------------------------------------
     def train_iteration(self, it: int, camera=None) -> dict:
-        if self.mesh is not None and camera is None:
-            return self._train_iteration_dp(it)
+        if self.mesh is not None:
+            # The mesh-built step expects [D]-batched camera rows; an
+            # explicit camera is replicated across the batch (psum/D of D
+            # identical grads == the single-camera gradient, and densify
+            # stats scale accum and denom by the same D, so decisions
+            # match).
+            cams = None if camera is None else [camera] * self.dp_devices
+            return self._train_iteration_dp(it, cameras=cams)
         cfg = self.cfg
         cam = camera if camera is not None else self._next_camera()
         cam_params = cam.device_params()
@@ -696,7 +702,7 @@ class Trainer:
         self._densify_and_reset(it)
         return {k: float(v) for k, v in metrics.items()}
 
-    def _train_iteration_dp(self, it: int) -> dict:
+    def _train_iteration_dp(self, it: int, cameras=None) -> dict:
         """One data-parallel iteration: D cameras across the mesh, the FULL
         model (box slots, normal loss, guidance window, densify stats) in
         one shard_mapped step. Box slots are the union of the D frames'
@@ -705,7 +711,9 @@ class Trainer:
 
         cfg = self.cfg
         D = self.dp_devices
-        cams = [self._next_camera() for _ in range(D)]
+        cams = (list(cameras) if cameras is not None
+                else [self._next_camera() for _ in range(D)])
+        assert len(cams) == D, f"need {D} cameras, got {len(cams)}"
         cam_batch = stack_camera_batch(cams)
         gt = jnp.stack([jnp.asarray(c.original_image) for c in cams])
         normals, nvalid = [], []

@@ -101,7 +101,10 @@ class ViewerServer:
                             (np.clip(img, 0, 1) * 255).astype(np.uint8)
                         ).tobytes()
                 self.send(img_bytes, source_path)
-                if do_training or not keep_alive:
+                # Empty-camera (zero-resolution) packets are keep-alives:
+                # keep servicing the viewer (reference train.py's GUI loop
+                # only breaks on a real camera message).
+                if cam is not None and (do_training or not keep_alive):
                     return bool(do_training)
             except Exception:
                 self.conn = None
