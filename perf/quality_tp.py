@@ -47,10 +47,14 @@ import numpy as np
 
 H, W = 48, 96
 N_CAMS = 9
-ITERS = int(os.environ.get("VEGS_TP_QUALITY_ITERS", "300"))
-EVAL_EVERY = 50
-DENSIFY_FROM, DENSIFY_UNTIL, DENSIFY_EVERY = 100, 300, 100
-NDEV = 8
+# Defaults sized for a 4-core host (8 virtual devices oversubscribe 2:1 and
+# run ~25 s/step; 4 devices halve that). Env-overridable for bigger hosts.
+ITERS = int(os.environ.get("VEGS_TP_QUALITY_ITERS", "150"))
+EVAL_EVERY = int(os.environ.get("VEGS_TP_QUALITY_EVAL_EVERY", "25"))
+DENSIFY_FROM = int(os.environ.get("VEGS_TP_QUALITY_DENSIFY_FROM", "50"))
+DENSIFY_UNTIL = int(os.environ.get("VEGS_TP_QUALITY_DENSIFY_UNTIL", "150"))
+DENSIFY_EVERY = int(os.environ.get("VEGS_TP_QUALITY_DENSIFY_EVERY", "50"))
+NDEV = int(os.environ.get("VEGS_TP_QUALITY_NDEV", "4"))
 
 
 def main():
@@ -151,8 +155,8 @@ def main():
         "",
         "Same independent ray-traced street oracle as QUALITY_r02.md, trained",
         "through `vegs_tpu/parallel/tp_trainer.py`: field + Adam + densify",
-        "stats sharded over an 8-device mesh (virtual CPU devices — the only",
-        "multi-device surface in this image), tile-sharded rendering with",
+        f"stats sharded over a {NDEV}-device mesh (virtual CPU devices — the",
+        "only multi-device surface in this image), tile-sharded rendering with",
         "all-to-all splat exchange, shard-local Adam, and SHARD-LOCAL",
         "densify/recompaction (tp_densify_and_prune) in the loop.",
         f"{H}x{W}, {N_CAMS} cameras, idx%8 split, densify window",
