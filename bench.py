@@ -75,7 +75,7 @@ def main():
 
     cfg = RasterizeConfig(
         backend="pallas", k_cap=k_cap,
-        blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "128")))
+        blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "256")))
     bg = jnp.zeros(3)
 
     @functools.partial(jax.jit, static_argnums=(5,))

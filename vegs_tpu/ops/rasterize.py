@@ -43,7 +43,7 @@ class RasterizeConfig(NamedTuple):
     backend: str = "auto"      # 'dense' | 'pallas' | 'auto'
     clamp_radius: int = 0      # 0 = unbounded footprint
     payload_dtype: str = "bf16"  # 'bf16' | 'f32' — rgb/quat/scale payload
-    blend_chunk: int = 128     # instances per blend compute chunk (128|256)
+    blend_chunk: int = 256     # instances per blend compute chunk (128|256)
     forward_only: bool = False  # skip backward-only binning byproducts
     #                             (inference paths: video/eval). Gradients
     #                             still flow but via XLA's slow scatter-add
