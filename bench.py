@@ -72,6 +72,15 @@ def main():
     _need = int(_probe.tile_starts[-1])
     k_cap = min(K_CAP, (int(_need * 1.05) + 511) // 512 * 512)
     print(f"# auto k_cap: need {_need}, using {k_cap}", file=sys.stderr)
+    # Honesty guard: raw slots are assigned PRE-cull, so a post-cull-sized
+    # cap could silently drop real instances (and flatter the number) if the
+    # tile padding ever undershoots the cull savings. Verified 0 at this
+    # workload (audit 2026-08-19: pre-cull total 1.04M < 1.13M cap).
+    _check = _binning.bin_gaussians(
+        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, k_cap,
+        conics=_proj.conics, opacities=_proj.opacities)
+    _nd = int(_check.num_dropped)
+    assert _nd == 0, f"bench k_cap drops {_nd} instances — size by total"
 
     cfg = RasterizeConfig(
         backend="pallas", k_cap=k_cap,

@@ -196,3 +196,40 @@ def test_l2_and_grads(rng):
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(a) / a.size, atol=1e-6)
     g2 = jax.grad(lambda x: ssim(x, b))(a)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_adapt_k_cap_grows_and_decays():
+    """Round-3 VERDICT item 7: a transient dense frame doubles k_cap, and
+    sustained <25% utilization halves it back (running-max guarded)."""
+    from vegs_tpu.ops.rasterize import RasterizeConfig
+    from vegs_tpu.train import Trainer
+
+    tr = Trainer.__new__(Trainer)          # decay logic only; no scene
+    tr.raster_cfg = RasterizeConfig(k_cap=1 << 17)
+    tr._guidance_fn = tr._percep_fn = None
+
+    # overflow -> grow 2x
+    tr._adapt_k_cap(num_dropped=10.0, num_needed=float(1 << 17))
+    assert tr.raster_cfg.k_cap == 1 << 18
+
+    # sustained low utilization -> shrink 2x after the window
+    for _ in range(Trainer.K_CAP_DECAY_WINDOW):
+        assert tr.raster_cfg.k_cap == 1 << 18
+        tr._adapt_k_cap(num_dropped=0.0, num_needed=1000.0)
+    assert tr.raster_cfg.k_cap == 1 << 17
+
+    # a single busy frame inside the window resets the streak
+    for _ in range(Trainer.K_CAP_DECAY_WINDOW - 1):
+        tr._adapt_k_cap(num_dropped=0.0, num_needed=1000.0)
+    tr._adapt_k_cap(num_dropped=0.0, num_needed=float(1 << 16))  # >25%
+    for _ in range(Trainer.K_CAP_DECAY_WINDOW - 1):
+        tr._adapt_k_cap(num_dropped=0.0, num_needed=1000.0)
+    assert tr.raster_cfg.k_cap == 1 << 17  # streak was reset, no shrink yet
+    tr._adapt_k_cap(num_dropped=0.0, num_needed=1000.0)
+    assert tr.raster_cfg.k_cap == 1 << 16
+
+    # never below the floor
+    tr.raster_cfg = RasterizeConfig(k_cap=Trainer.K_CAP_MIN)
+    for _ in range(Trainer.K_CAP_DECAY_WINDOW + 1):
+        tr._adapt_k_cap(num_dropped=0.0, num_needed=100.0)
+    assert tr.raster_cfg.k_cap == Trainer.K_CAP_MIN

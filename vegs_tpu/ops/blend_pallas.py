@@ -5,7 +5,9 @@ item 1): instead of one thread per pixel walking Gaussians with shared-memory
 staging and atomics, each grid program owns a (16, 128) pixel block (= 8
 adjacent 16x16 tiles) and walks each tile's depth-sorted instance list in
 512-instance SUPERCHUNKS, double-buffered HBM→VMEM DMA hiding the copy behind
-compute, processing 128-instance chunks whose math is all MXU matmuls:
+compute, processing fixed-size instance chunks (production default 256, set
+by RasterizeConfig.blend_chunk; the kernel-level CHUNK=128 default only
+applies to direct blend() callers) whose math is all MXU matmuls:
 
   * the quadratic splat exponent is a [P,6]x[6,M] contraction against pixel
     monomials (1, x, y, x^2, y^2, xy) in tile-local coordinates,

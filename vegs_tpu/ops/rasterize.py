@@ -122,8 +122,24 @@ def gather_expand(pay_f32: jax.Array, pay_aux: jax.Array, gidx: jax.Array,
     Custom VJP: XLA's transpose of this gather is a scatter-add with
     colliding indices (~410 ms at 2M instances). The backward instead
     gathers the cotangent rows into RAW (gaussian-grouped) order via
-    `order`, runs a blocked cumsum, and differences it at `ends`.
+    `order` and segment-reduces them (Pallas membership-matmul kernel on
+    TPU; blocked cumsum + boundary diff elsewhere).
     """
+    if pay_aux.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        # ONE fused 64-byte-row gather (measured ~2x the two row-8 gathers'
+        # throughput at the bench shape, r05_gebwd2.py): pack both tables
+        # as [n+1, 16] int32, gather, unpack.
+        n1 = pay_f32.shape[0]
+        k = gidx.shape[0]
+        packed = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(pay_f32, jnp.int32),
+             jax.lax.bitcast_convert_type(
+                 pay_aux.reshape(n1, 8, 2), jnp.int32)], axis=1)
+        g = packed[gidx]
+        pf = jax.lax.bitcast_convert_type(g[:, :8], jnp.float32)
+        pa = jax.lax.bitcast_convert_type(
+            g[:, 8:], jnp.bfloat16).reshape(k, 16)
+        return pf, pa
     return pay_f32[gidx], _gather_rows_aux(pay_aux, gidx)
 
 
@@ -131,11 +147,53 @@ def _ge_fwd(pay_f32, pay_aux, gidx, order, ends):
     return gather_expand(pay_f32, pay_aux, gidx, order, ends), (order, ends)
 
 
+def _unpack_to_cm(g16: jax.Array, k: int) -> jax.Array:
+    """[K, 16] int32 (8 f32-bitcast + 8 bf16-pair-bitcast cols) -> [24, K]
+    f32 channel-major, aux re-interleaved to original column order."""
+    gT = g16.T                                   # [16, K]
+    g_f = jax.lax.bitcast_convert_type(gT[:8], jnp.float32)
+    aux = gT[8:]
+    # bf16 -> f32 upcast is exactly a 16-bit left shift (lo half) / a
+    # high-half mask (hi half) of the packed int32.
+    lo = jax.lax.bitcast_convert_type(jax.lax.shift_left(aux, 16), jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(aux, jnp.int32(-65536)), jnp.float32)
+    inter = jnp.stack([lo, hi], axis=1).reshape(16, k)
+    return jnp.concatenate([g_f, inter], axis=0)
+
+
 def _ge_bwd(res, cots):
     order, ends = res
     d_pf, d_pa = cots
     aux_dtype = d_pa.dtype
     k = d_pf.shape[0]
+    n1 = ends.shape[0]
+    from . import segreduce
+
+    if (aux_dtype == jnp.bfloat16 and k >= segreduce.RC and k % 128 == 0
+            and jax.default_backend() == "tpu"):
+        # Production TPU path (round-3 rework, r05_segreduce2.py: 11.2 ms vs
+        # 25.1 for the XLA path at the bench shape): ONE fused 64-byte-row
+        # gather of both cotangent halves packed as [K, 16] int32, then the
+        # Pallas streaming segment-reduce (membership-matmul) instead of
+        # cumsum + boundary gather + diff.
+        packed = jnp.concatenate(
+            [jax.lax.bitcast_convert_type(d_pf, jnp.int32),
+             jax.lax.bitcast_convert_type(d_pa.reshape(k, 8, 2), jnp.int32)],
+            axis=1)                                          # [K, 16] int32
+        dead = (order >= k)[:, None]
+        g = jnp.where(dead, 0, packed[jnp.where(dead[:, 0], 0, order)])
+        ng = -(-n1 // segreduce.GB) * segreduce.GB
+        ends_p = jnp.concatenate(
+            [ends, jnp.broadcast_to(ends[-1:], (ng - n1,))])
+        starts_p = jnp.concatenate([jnp.zeros(1, jnp.int32), ends_p[:-1]])
+        out = segreduce.segment_reduce_cols(
+            _unpack_to_cm(g, k), starts_p, ends_p)           # [24, NG]
+        return (out[:F32_COLS, :n1].T,
+                out[F32_COLS:, :n1].T.astype(aux_dtype),
+                None, None, None)
+
+    # XLA fallback (f32 payload / golden paths, CPU meshes, tiny k_cap).
     # order == K marks dropped / nonexistent raw instances: clamp the index
     # and mask the row to zero after the gather (padding the tables with
     # zero rows instead costs two full-table copies, ~3 ms at 2M).
@@ -175,6 +233,8 @@ class RasterOut(NamedTuple):
     radii: jax.Array      # [N] int32
     means2d: jax.Array    # [N, 2] pixel coords (for densify-stat gradients)
     num_dropped: jax.Array  # scalar int32 — instances dropped at k_cap
+    num_needed: jax.Array   # scalar int32 — padded-layout slots actually
+    #                         used (tile_starts[-1]); k_cap decay signal
 
 
 def _resolve_backend(backend: str) -> str:
@@ -299,4 +359,5 @@ def rasterize(
         radii=proj.radii,
         means2d=proj.means2d,
         num_dropped=binned.num_dropped,
+        num_needed=binned.tile_starts[-1],
     )

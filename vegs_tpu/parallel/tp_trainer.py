@@ -289,6 +289,10 @@ def make_tp_full_train_step(
     boxmodel_lambda_reg: float,
     sh_total_degree: int = 3,
     k_exch: int | None = None,
+    guidance=None,
+    aug_cam: CameraParams | None = None,
+    perceptual_lam: float = 0.0,
+    k_exch_aug: int | None = None,
 ):
     """The FULL VEGS model (static field + canonical-box instance fields +
     SE(3)+scale box deltas, reference train.py:112-290) trained with every
@@ -309,9 +313,21 @@ def make_tp_full_train_step(
 
     fn(field, opt, stats, step, box_fields, box_opt, box_stats, deltas,
        delta_opt, box2worlds, active, cam, gt, normal, normal_valid,
-       active_sh_degree, bg) ->
+       active_sh_degree, bg[, extras]) ->
       (field, opt, stats, step+1, box_fields, box_opt, box_stats, deltas,
        delta_opt, metrics)
+
+    `guidance` (callable (key, crop, iteration) -> loss; pass `aug_cam` as
+    the augmented-view shape template) and `perceptual_lam` complete the
+    reference's capability set (train.py:171-193 SD window + the perceptual
+    flag) in the NO-REPLICATION regime: the augmented view renders through
+    the SAME tile-sharded path (1/D rows per device, one all_to_all), the
+    gathered aug image feeds the diffusion score (VAE/UNet replicated
+    compute — tiny next to per-Gaussian state), and the image-space loss
+    gradients flow back through the gather's transpose onto the owning
+    shards. When enabled, the step takes a trailing `extras` dict:
+    {"aug_cam": CameraParams, "crop_start": i32, "gkey": key} and/or
+    {"vgg_params": pytree} — all replicated.
     """
     from ..boxmodel import BoxDeltas, adjust_box2world
     from ..render import (_concat_arrays, field_arrays,
@@ -320,6 +336,8 @@ def make_tp_full_train_step(
     ndev = mesh.shape[TILE_AXIS]
     H, W = cam.height, cam.width
     plan = make_tile_plan(ndev, cam, raster_cfg, k_exch)
+    plan_aug = (make_tile_plan(ndev, aug_cam, raster_cfg, k_exch_aug)
+                if guidance is not None else None)
     lam_dssim = opt_cfg.lambda_dssim
     lam_dnormal = opt_cfg.lambda_dnormal
 
@@ -328,7 +346,8 @@ def make_tp_full_train_step(
 
     def local_loss(static_params, box_params, delta_params, field_tmpl,
                    bfields_tmpl, box2worlds, active, m2d_offset, cam, gt,
-                   normal, normal_valid, active_sh_degree, bg):
+                   normal, normal_valid, active_sh_degree, bg, step,
+                   extras=None):
         field = optim.with_params(field_tmpl, static_params)
         parts = [field_arrays(field, active_sh_degree)]
         bfields = optim.with_params(bfields_tmpl, box_params)
@@ -361,12 +380,38 @@ def make_tp_full_train_step(
             + jnp.linalg.norm(deltas.delta_t, axis=-1))
         reg = jnp.sum(reg_each * active.astype(jnp.float32))
         loss = loss + boxmodel_lambda_reg * reg
+        g_loss = jnp.float32(0.0)
+        p_loss = jnp.float32(0.0)
+        if perceptual_lam:
+            from ..losses.perceptual import vgg_perceptual_loss
+
+            p_loss = vgg_perceptual_loss(extras["vgg_params"], rgb, gt)
+            loss = loss + perceptual_lam * p_loss
+        if guidance is not None:
+            # Augmented view through the tile-sharded path (static field
+            # only, reference train.py:177 ignores boxes for the aug render).
+            Ha, Wa = aug_cam.height, aug_cam.width
+            arrays_s = field_arrays(field, active_sh_degree)
+            aug_loc, _, _ = tile_render_local(
+                plan_aug, extras["aug_cam"], raster_cfg, sh_total_degree,
+                arrays_s.means, arrays_s.quats, arrays_s.scales,
+                arrays_s.opacities, arrays_s.shs, arrays_s.valid,
+                means2d_offset=None)
+            aug = jax.lax.all_gather(aug_loc, TILE_AXIS, axis=1, tiled=True)
+            t_a = aug[blend_ref.N_ACCUM, :Ha, :Wa]
+            rgb_a = aug[0:3, :Ha, :Wa] + t_a[None] * bg[:, None, None]
+            crop = jax.lax.dynamic_slice(
+                rgb_a, (0, 0, extras["crop_start"]), (3, Ha, Ha))
+            g_loss = guidance(extras["gkey"], crop, step)
+            loss = loss + g_loss
         # /ndev: identical loss on every shard — see make_tp_train_step.
-        return loss / ndev, (proj.radii, ll1, nloss, loss, dropped)
+        return loss / ndev, (proj.radii, ll1, nloss, loss, dropped, g_loss,
+                             p_loss)
 
     def sharded_body(field, opt_state, stats, step, bfields, box_opt,
                      box_stats, deltas, delta_opt, box2worlds, active,
-                     cam, gt, normal, normal_valid, active_sh_degree, bg):
+                     cam, gt, normal, normal_valid, active_sh_degree, bg,
+                     extras=None):
         c_loc = field.capacity
         bcap_loc = bfields.means.shape[1]
         static_params = optim.split_params(field)
@@ -379,9 +424,9 @@ def make_tp_full_train_step(
             local_loss, argnums=(0, 1, 2, 7), has_aux=True)(
             static_params, box_params, delta_params, field, bfields,
             box2worlds, active, m2d, cam, gt, normal, normal_valid,
-            active_sh_degree, bg)
+            active_sh_degree, bg, step, extras)
         g_static, g_box, g_delta, g_m2d = grads
-        radii, ll1, nloss, loss, dropped = aux
+        radii, ll1, nloss, loss, dropped, g_loss, p_loss = aux
 
         # Deltas are replicated: psum restores the full gradient (render
         # contributions land on the owning shard; the regularizer
@@ -430,6 +475,10 @@ def make_tp_full_train_step(
 
         metrics = {"loss": loss, "l1": ll1, "normal_loss": nloss,
                    "num_dropped": dropped}
+        if guidance is not None:
+            metrics["guidance_loss"] = g_loss
+        if perceptual_lam:
+            metrics["perceptual_loss"] = p_loss
         return (new_field, new_opt, new_stats, step + 1, bf2, bopt2,
                 bstats2, new_deltas, ndo2, metrics)
 
@@ -451,12 +500,26 @@ def make_tp_full_train_step(
         viewmatrix=P(), projmatrix=P(), campos=P(),
         tan_fovx=P(), tan_fovy=P(), height=H, width=W)
 
+    in_specs = [field_spec, opt_spec, stats_spec, P(), bfield_spec,
+                bopt_spec, bstats_spec, P(), P(), P(), P(), cam_spec,
+                P(), P(), P(), P(), P()]
+    if guidance is not None or perceptual_lam:
+        extras_spec = {}
+        if guidance is not None:
+            extras_spec.update(
+                aug_cam=CameraParams(
+                    viewmatrix=P(), projmatrix=P(), campos=P(),
+                    tan_fovx=P(), tan_fovy=P(),
+                    height=aug_cam.height, width=aug_cam.width),
+                crop_start=P(), gkey=P())
+        if perceptual_lam:
+            extras_spec["vgg_params"] = P()
+        in_specs.append(extras_spec)
+
     smapped = shard_map(
         sharded_body,
         mesh=mesh,
-        in_specs=(field_spec, opt_spec, stats_spec, P(), bfield_spec,
-                  bopt_spec, bstats_spec, P(), P(), P(), P(), cam_spec,
-                  P(), P(), P(), P(), P()),
+        in_specs=tuple(in_specs),
         out_specs=(field_spec, opt_spec, stats_spec, P(), bfield_spec,
                    bopt_spec, bstats_spec, P(), P(), P()),
         check_vma=False,
