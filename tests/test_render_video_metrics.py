@@ -79,6 +79,42 @@ def test_render_set_writes_videos(tmp_path, rng):
         assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
+def test_rotaxis_render(tmp_path, rng):
+    """Covariance-axis visualization (reference train.py:355-411): flattened
+    Gaussians with identity rotation -> the min-scale axis is world x; the
+    rendered pseudo-normal at a well-covered pixel equals (1 - R_w2c @ x)/2."""
+    from vegs_tpu.render import render
+    from vegs_tpu.render_video import render_novelview_rotaxis
+
+    scene = _toy_scene(tmp_path, rng)
+    f = scene.gaussians
+    # identity rotations, flatten along x, opaque
+    quats = np.zeros((f.capacity, 4), np.float32); quats[:, 0] = 1.0
+    log_scales = np.tile(np.log([1e-4, 0.15, 0.15]).astype(np.float32),
+                         (f.capacity, 1))
+    f = f.replace(quats=jnp.asarray(quats),
+                  log_scales=jnp.asarray(log_scales),
+                  opacity_logit=jnp.full((f.capacity, 1), 8.0))
+    scene.gaussians = f
+    cfg = RasterizeConfig(backend="dense", k_cap=1 << 12)
+    aug = {"add_zrot_val": 0.0, "add_xrot_val": 0.0, "add_tz": 0.0}
+    cam = scene.getTrainCameras()[0]
+    img = render_novelview_rotaxis(scene, cam, {}, cfg, jnp.zeros(3), aug)
+    assert img.shape == (cam.image_height, cam.image_width, 3)
+    assert img.dtype == np.uint8
+    out = render(cam, f, bg=jnp.zeros(3), config=cfg)
+    alpha = np.asarray(out.alpha[0])
+    yy, xx = np.unravel_index(np.argmax(alpha), alpha.shape)
+    expected = (1.0 - cam.R.T @ np.array([1.0, 0, 0])) / 2 * 255
+    np.testing.assert_allclose(img[yy, xx].astype(float), expected, atol=40)
+    # gt_like mode runs and returns the same shape
+    ngt = np.zeros((3, cam.image_height, cam.image_width), np.float32)
+    ngt[0] = 1.0
+    img2 = render_novelview_rotaxis(scene, cam, {}, cfg, jnp.zeros(3), aug,
+                                    idx_best="gt_like", normal_gt=ngt)
+    assert img2.shape == img.shape
+
+
 def test_evaluate_dirs(tmp_path, rng):
     from PIL import Image
 

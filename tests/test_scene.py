@@ -261,3 +261,43 @@ def test_resolution_policy(rng):
 
     cam1 = dr.camera_from_info(info, resolution=1)
     assert (cam1.image_width, cam1.image_height) == (2000, 1000)
+
+
+def test_synthetic_moving_box_and_normals():
+    """Dynamic-object oracle extensions (vegs_tpu/utils/synthetic.py): the
+    mover changes the GT across frames, normal maps are camera-space unit
+    vectors, and Camera.world_normal recovers the world ground normal."""
+    from vegs_tpu.utils import synthetic as syn
+
+    n = 5
+    infos = syn.street_camera_infos(n, 32, 64, moving_box=True,
+                                    render_normal=True)
+    static = syn.street_camera_infos(n, 32, 64, moving_box=False)
+    # the mover shows up (frame 2 looks straight down the street)
+    assert np.abs(infos[2].image - static[2].image).max() > 0.05
+    # ... at a DIFFERENT set of pixels per frame (it moves)
+    d1 = np.abs(infos[1].image - static[1].image).sum(0) > 0.05
+    d3 = np.abs(infos[3].image - static[3].image).sum(0) > 0.05
+    assert (d1 != d3).any() and d1.any() and d3.any()
+
+    nrm = infos[2].normal
+    assert nrm.shape == (3, 32, 64)
+    np.testing.assert_allclose(
+        np.linalg.norm(nrm, axis=0), 1.0, atol=1e-5)
+    cam = dataset_readers.camera_from_info(infos[2], preload=True)
+    wn = cam.world_normal()
+    # bottom rows look at the ground: world normal ~ [0, -1, 0] (y is down)
+    ground = wn[:, -4:, :].reshape(3, -1).mean(axis=1)
+    np.testing.assert_allclose(ground, [0.0, -1.0, 0.0], atol=0.05)
+
+    # box2world maps the canonical cube onto the mover's world AABB
+    m = syn.mover_box2world(2, n)
+    corners = np.array([[x, y, z] for x in (-0.5, 0.5)
+                        for y in (-0.5, 0.5) for z in (-0.5, 0.5)])
+    w = (np.concatenate([corners, np.ones((8, 1))], 1) @ m.T)[:, :3]
+    (cx, _, cz) = syn.mover_center(2, n)
+    sx, sy, sz = syn.MOVER_SIZE
+    np.testing.assert_allclose(w[:, 0].max() - w[:, 0].min(), sx, atol=1e-5)
+    np.testing.assert_allclose(w[:, 1].max(), 1.5, atol=1e-5)  # on the ground
+    np.testing.assert_allclose(w[:, 0].mean(), cx, atol=1e-5)
+    np.testing.assert_allclose(w[:, 2].mean(), cz, atol=1e-5)

@@ -162,3 +162,28 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     # training continues from the restored state
     m = tr2.train_iteration(3)
     assert np.isfinite(m["loss"])
+
+
+def test_evaluate_with_boxes_and_ssim(tmp_path, rng):
+    """evaluate(with_boxes=True) composites the frame's dynamic instances
+    (render_all path) and with_ssim adds the SSIM metric."""
+    info = _toy_scene_info(rng, with_box=True)
+    tr = _make_trainer(tmp_path, rng, info, densify_from_iter=10**9)
+    # GT rendered from the initial field is static-only (see _make_trainer);
+    # re-render frame-0 GT WITH the box so box compositing changes the error.
+    from vegs_tpu.render import BoxInstance, render_all
+    cam0 = tr.scene.train_cameras[0]
+    insts = [BoxInstance(field=tr.scene.box_gaussians[26001],
+                         box2world=jnp.asarray(
+                             info.train_bboxes[0][26001].box2world,
+                             jnp.float32))]
+    out, _ = render_all(cam0.device_params(), tr.state.field, insts,
+                        bg=tr.bg, config=RASTER)
+    cam0.image = np.clip(np.asarray(out.rgb), 0, 1)
+
+    e_static = tr.evaluate(cameras=[cam0], with_ssim=True)
+    e_boxes = tr.evaluate(cameras=[cam0], with_boxes=True, with_ssim=True)
+    assert np.isfinite(e_boxes["psnr"]) and np.isfinite(e_boxes["ssim"])
+    assert 0.0 <= e_boxes["ssim"] <= 1.0
+    # compositing the box reproduces the boxed GT better than static-only
+    assert e_boxes["psnr"] > e_static["psnr"] + 1.0

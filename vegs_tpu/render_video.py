@@ -116,6 +116,55 @@ def render_novelview_image(scene: Scene, cam: Camera, boxes: dict,
     return np.clip(np.asarray(out.rgb), 0, 1).transpose(1, 2, 0)
 
 
+def render_novelview_rotaxis(scene: Scene, cam: Camera, boxes: dict,
+                             raster_cfg: RasterizeConfig, bg, aug,
+                             idx_best: str = "min_scale",
+                             normal_gt=None) -> np.ndarray:
+    """Covariance-axis visualization at an augmented view (reference
+    render_novelview_rotaxis, train.py:355-411): the per-pixel composited
+    covariance quaternion/scale channels become a camera-space
+    pseudo-normal map — per pixel, pick the rotation column with the
+    smallest composited scale (`min_scale` — the flatten-prior axis) or the
+    best GT-normal alignment (`gt_like`), and shade it like a normal image
+    ((-n + 1) / 2).
+
+    Returns a uint8 [H, W, 3] image."""
+    import jax.numpy as jnp
+
+    cam_aug = make_camera_like_input_camera(cam, **aug)
+    instances = [
+        BoxInstance(field=scene.box_gaussians[i],
+                    box2world=jnp.asarray(np.asarray(m), jnp.float32))
+        for i, m in boxes.items() if i in scene.box_gaussians
+    ]
+    if instances:
+        out, _ = render_all(cam_aug, scene.gaussians, instances,
+                            bg=bg, config=raster_cfg)
+    else:
+        out = render(cam_aug, scene.gaussians, bg=bg, config=raster_cfg)
+
+    h, w = out.cov_quat.shape[1:]
+    quats = out.cov_quat.reshape(4, -1).T                  # [npix, 4]
+    scales = out.cov_scale.reshape(3, -1).T                # [npix, 3]
+    rot = geometry.quat_to_rotmat(geometry.quat_normalize(quats))
+    # cam.R is the transposed world-to-camera rotation (c2w); columns of
+    # R_w2c @ rot are the covariance axes in camera space.
+    r_w2c = jnp.asarray(cam_aug.R.T, jnp.float32)
+    axes_cam = jnp.einsum("ij,njk->nik", r_w2c, rot)       # [npix, 3, 3]
+    if idx_best == "min_scale":
+        best = jnp.argmin(scales, axis=1)
+    elif idx_best == "gt_like":
+        assert normal_gt is not None, "gt_like needs a [3, H, W] normal map"
+        ngt = jnp.asarray(normal_gt).reshape(3, -1).T      # [npix, 3]
+        best = jnp.argmax(jnp.einsum("ni,nik->nk", ngt, axes_cam), axis=1)
+    else:
+        raise ValueError(f"unknown idx_best: {idx_best}")
+    n_best = jnp.take_along_axis(
+        axes_cam, best[:, None, None].repeat(3, 1), axis=2)[..., 0]
+    img = jnp.clip((-n_best + 1.0) * 0.5, 0.0, 1.0).T.reshape(3, h, w)
+    return (np.asarray(img).transpose(1, 2, 0) * 255).astype(np.uint8)
+
+
 def save_video(frames: Sequence[np.ndarray], path, fps: int = 10) -> None:
     """mp4 writer (reference render_video.py:213-227)."""
     import cv2

@@ -969,25 +969,60 @@ class Trainer:
                     self.box_opts[inst] = opt
 
     # -- evaluation ---------------------------------------------------------
-    def evaluate(self, cameras=None, max_cams: Optional[int] = None) -> dict:
+    def evaluate(self, cameras=None, max_cams: Optional[int] = None,
+                 with_boxes: bool = False, with_ssim: bool = False) -> dict:
         """PSNR/L1 over the held-out split (reference training_report,
         train.py:557-599). Default: the FULL idx%8 test split; pass
-        max_cams for the cheap in-loop smoke eval."""
+        max_cams for the cheap in-loop smoke eval.
+
+        `with_boxes=True` composites each frame's dynamic instances (with
+        their learned SE(3) delta residuals) into the render — the full-model
+        eval the reference does through render_all (train.py:543-556)."""
+        from .render import BoxInstance, render_all
+
         cams = cameras if cameras is not None else self.scene.getTestCameras()
         if max_cams is not None:
             cams = cams[:max_cams]
         if not cams:
             return {}
-        psnrs, l1s = [], []
+        box_fields = self.current_box_fields() if with_boxes else {}
+        psnrs, l1s, ssims = [], [], []
         for cam in cams:
-            out = eval_render(self.state.field, cam.device_params(), self.bg,
-                              self.cfg.model.sh_degree, self.raster_cfg)
+            frame = int(getattr(cam, "frame", 0))
+            boxes = {}
+            if with_boxes:
+                boxes = dict(self.scene.train_bboxes.get(frame, {}))
+                boxes.update(self.scene.test_bboxes.get(frame, {}))
+            insts = [
+                BoxInstance(
+                    field=box_fields[i],
+                    box2world=jnp.asarray(
+                        np.asarray(m.box2world if hasattr(m, "box2world")
+                                   else m), jnp.float32),
+                    deltas=self.frame_deltas.get((frame, i)))
+                for i, m in boxes.items() if i in box_fields
+            ]
+            if insts:
+                out, _ = render_all(
+                    cam.device_params(), self.state.field, insts, bg=self.bg,
+                    active_sh_degree=self.cfg.model.sh_degree,
+                    sh_degree=self.cfg.model.sh_degree,
+                    config=self.raster_cfg._replace(forward_only=True))
+            else:
+                out = eval_render(self.state.field, cam.device_params(),
+                                  self.bg, self.cfg.model.sh_degree,
+                                  self.raster_cfg)
             gt = jnp.asarray(cam.original_image)
             rgb = jnp.clip(out.rgb, 0.0, 1.0)
             psnrs.append(float(psnr(rgb, gt)))
             l1s.append(float(l1_loss(rgb, gt)))
-        return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
-                "n_cams": len(cams)}
+            if with_ssim:
+                ssims.append(float(ssim(rgb, gt)))
+        res = {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s)),
+               "n_cams": len(cams)}
+        if with_ssim:
+            res["ssim"] = float(np.mean(ssims))
+        return res
 
     # -- checkpointing ------------------------------------------------------
     # Optimizer-full checkpoints (the reference's capture()/chkpnt{iter}.pth
@@ -1075,7 +1110,8 @@ class Trainer:
         """Eval renders + fixed extrapolation sweeps (reference
         training_report, train.py:511-601: test/train PSNR, augmented views
         at zrot +-30/60, look-down+rise)."""
-        from .render_video import DEFAULT_AUG_PARAMS, render_novelview_image
+        from .render_video import (DEFAULT_AUG_PARAMS, render_novelview_image,
+                                   render_novelview_rotaxis)
 
         report = {"iter": it, **{f"test_{k}": v
                                  for k, v in self.evaluate().items()}}
@@ -1094,6 +1130,11 @@ class Trainer:
                     self.scene, cam, boxes, self.raster_cfg, self.bg, aug)
                 Image.fromarray(( _np.clip(img, 0, 1) * 255).astype("uint8")
                                 ).save(base / f"aug_{ai}.png")
+                # Covariance-axis visualization alongside every sweep
+                # (reference render_novelview_rotaxis, train.py:355-411).
+                ax = render_novelview_rotaxis(
+                    self.scene, cam, boxes, self.raster_cfg, self.bg, aug)
+                Image.fromarray(ax).save(base / f"rotaxis_{ai}.png")
         return report
 
     def train(self, iterations: Optional[int] = None,

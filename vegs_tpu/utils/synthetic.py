@@ -48,10 +48,18 @@ def _box_bounds(box):
 
 
 def raytrace(R: np.ndarray, t: np.ndarray, H: int, W: int,
-             fovx: float, fovy: float) -> np.ndarray:
+             fovx: float, fovy: float, extra_boxes=(),
+             return_normal: bool = False):
     """Render [3, H, W] in [0,1]. `R`/`t` follow the repo's camera
     convention (R = transposed world-to-camera rotation, t = w2c
-    translation), matching tests.utils.make_camera."""
+    translation), matching tests.utils.make_camera.
+
+    `extra_boxes` appends per-frame boxes (same (center_xz, size, albedo)
+    tuples as BOXES) — the moving "vehicle" of the dynamic-object oracle.
+    `return_normal=True` additionally returns a CAMERA-space per-pixel
+    normal map [3, H, W] (the synthetic stand-in for the omnidata prior;
+    Camera.world_normal() rotates it back to world). Sky pixels get the
+    world up normal, like a monocular estimator would hallucinate."""
     # camera center and axes in world space
     Rwc = R.T                       # world->cam rotation
     C = -Rwc.T @ t                  # camera center
@@ -69,6 +77,9 @@ def raytrace(R: np.ndarray, t: np.ndarray, H: int, W: int,
 
     tmin = np.full((H, W), np.inf)
     color = np.zeros((H, W, 3))
+    # world-space per-pixel normal (y is DOWN: up = -y); sky defaults to up
+    nmap = np.broadcast_to(
+        np.array([0.0, -1.0, 0.0]), (H, W, 3)).copy()
     # sky background
     up = np.clip(dirs[..., 1], -1, 1)
     sky_t = np.clip(-up, 0.0, 1.0) ** 0.7
@@ -91,9 +102,10 @@ def raytrace(R: np.ndarray, t: np.ndarray, H: int, W: int,
     sel = hit & (t_pl < tmin)
     tmin = np.where(sel, t_pl, tmin)
     color = np.where(sel[..., None], ground_col, color)
+    # ground normal already equals the sky default ([0,-1,0])
 
     # boxes (AABB slab test); box "ground" sits at plane_y going UP (−y)
-    for box in BOXES:
+    for box in list(BOXES) + list(extra_boxes):
         lo, hi = _box_bounds(box)
         lo = lo.copy(); hi = hi.copy()
         # convert box heights to this convention: base at plane_y, top above
@@ -117,8 +129,14 @@ def raytrace(R: np.ndarray, t: np.ndarray, H: int, W: int,
         sel = hit & (tn < tmin)
         tmin = np.where(sel, tn, tmin)
         color = np.where(sel[..., None], col, color)
+        nmap = np.where(sel[..., None], normal, nmap)
 
-    return np.clip(color.transpose(2, 0, 1), 0.0, 1.0).astype(np.float32)
+    rgb = np.clip(color.transpose(2, 0, 1), 0.0, 1.0).astype(np.float32)
+    if not return_normal:
+        return rgb
+    # world -> camera: n_cam = R_w2c @ n_world (row form: n @ R_w2c^T)
+    n_cam = (nmap.reshape(-1, 3) @ Rwc.T).reshape(H, W, 3)
+    return rgb, n_cam.transpose(2, 0, 1).astype(np.float32)
 
 
 def sample_scene_points(rng, n_ground=2500, n_box=400, noise=0.05,
@@ -166,10 +184,62 @@ def sample_scene_points(rng, n_ground=2500, n_box=400, noise=0.05,
     return pts, cols
 
 
+# -- dynamic-object oracle: a "vehicle" box crossing the street -------------
+MOVER_SIZE = (1.4, 1.0, 2.0)
+MOVER_ALBEDO = (0.85, 0.55, 0.20)
+MOVER_INSTANCE = 26001  # KITTI-360 vehicle-range semantic id
+
+
+def mover_center(frame: int, n_frames: int):
+    s = frame / max(n_frames - 1, 1)
+    return (-2.2 + 4.4 * s, 0.0, 8.0 + 3.0 * s)
+
+
+def mover_box(frame: int, n_frames: int):
+    return (mover_center(frame, n_frames), MOVER_SIZE, MOVER_ALBEDO)
+
+
+def mover_box2world(frame: int, n_frames: int) -> np.ndarray:
+    """Canonical [-0.5, 0.5]^3 -> world transform of the mover at `frame`
+    (pure translation + per-axis scale; base resting on the ground plane)."""
+    (cx, _, cz) = mover_center(frame, n_frames)
+    sx, sy, sz = MOVER_SIZE
+    m = np.eye(4, dtype=np.float32)
+    m[0, 0], m[1, 1], m[2, 2] = sx, sy, sz
+    m[:3, 3] = [cx, 1.5 - sy / 2.0, cz]
+    return m
+
+
+def mover_canonical_points(rng, n=420, noise=0.02):
+    """Noisy surface samples of the mover in its CANONICAL frame, with
+    shaded albedo colors (rotation is identity, so canonical face normals
+    are world face normals)."""
+    pts, cols = [], []
+    albedo = np.array(MOVER_ALBEDO)
+    m = n // 6 + 1
+    for axis in range(3):
+        for side in (-0.5, 0.5):
+            p = rng.uniform(-0.5, 0.5, (m, 3))
+            p[:, axis] = side
+            normal = np.zeros(3)
+            normal[axis] = np.sign(side)
+            pts.append(p)
+            cols.append(np.tile(_shade(albedo, normal), (m, 1)))
+    pts = np.concatenate(pts).astype(np.float32)
+    cols = np.concatenate(cols).astype(np.float32)
+    pts = np.clip(pts + rng.normal(0, noise, pts.shape), -0.49, 0.49)
+    return pts.astype(np.float32), np.clip(cols, 0, 1).astype(np.float32)
+
+
 def street_camera_infos(n: int, H: int, W: int, fovx=1.2, fovy=0.7,
-                        render_gt=True):
+                        render_gt=True, moving_box=False,
+                        render_normal=False):
     """Forward-facing camera arc (KITTI-like ego motion with slight yaw),
-    as CameraInfo records with ray-traced ground-truth images."""
+    as CameraInfo records with ray-traced ground-truth images.
+
+    `moving_box=True` composites the mover (`mover_box`) into each frame's
+    GT; `render_normal=True` attaches camera-space GT normal maps (the
+    synthetic omnidata prior) to each CameraInfo."""
     from ..scene.dataset_readers import CameraInfo, fov2focal
 
     infos = []
@@ -185,9 +255,14 @@ def street_camera_infos(n: int, H: int, W: int, fovx=1.2, fovy=0.7,
             [0, fov2focal(fovy, H), H / 2],
             [0, 0, 1.0],
         ])
-        img = raytrace(Rw2c.T, T, H, W, fovx, fovy) if render_gt else None
+        img, nrm = None, None
+        if render_gt:
+            extra = [mover_box(i, n)] if moving_box else []
+            out = raytrace(Rw2c.T, T, H, W, fovx, fovy, extra_boxes=extra,
+                           return_normal=render_normal)
+            img, nrm = out if render_normal else (out, None)
         infos.append(CameraInfo(
             uid=i, R=Rw2c.T, T=T, FovX=fovx, FovY=fovy, K=K,
             image=img, image_path="", image_name=f"street_{i:03d}",
-            normal=None, normal_path="", width=W, height=H, frame=i))
+            normal=nrm, normal_path="", width=W, height=H, frame=i))
     return infos
