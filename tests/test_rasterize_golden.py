@@ -148,11 +148,11 @@ def test_depth_key_ordering_bounds(rng):
     pair = np.asarray(binning.depth_key(jnp.asarray([base, base + eps])))
     assert pair[1] >= pair[0]
 
-    # a 332x205-tile image exceeds the packed-key tile capacity -> hard error
-    import pytest
-
-    with pytest.raises(AssertionError, match="packed-key capacity"):
-        binning.TileGrid.for_image(16 * 205, 16 * 332)
+    # a 332x205-tile image exceeds the full-resolution tile capacity: the
+    # adaptive packing spends depth bits instead of erroring (see
+    # test_large_grid_key_fallback for the end-to-end check + the hard cap)
+    g = binning.TileGrid.for_image(16 * 205, 16 * 332)
+    assert g.tile_shift == 14  # 2^(31-14) - 2 = 131070 >= 68060 tiles
 
 
 def test_dense_blend_matches_loop(rng):
@@ -293,3 +293,64 @@ def test_forward_only_parity(rng):
         config=CFG_DENSE._replace(forward_only=True)).rgb ** 2))(means)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_large_grid_key_fallback(rng):
+    """Images beyond MAX_TILES tiles rasterize through the adaptive key
+    packing (grid.tile_shift < 19, round-2 verdict item 10): binning
+    invariants hold at the reduced depth width and the rendered image
+    matches the default 16x16 tiling of the same scene."""
+    h = w = 260
+    # Few, tiny Gaussians: every nonempty tile pads its range to PAD_ALIGN
+    # slots, so at 4x4 tiles a dense scene would blow k_cap (and the dense
+    # golden is O(K * H * W)); the key packing is what's under test.
+    n = 8
+    cam = make_camera(height=h, width=w, fovx=0.9, fovy=0.9)
+    # opacity < 0.35 keeps the footprint bound at the exact alpha >= 1/255
+    # contour (no 3-sigma clamp), so the composited image is tile-size
+    # independent — the cross-tiling check below is then exact.
+    means, quats, scales, opac, shs = random_gaussians(
+        rng, n, depth_range=(3.0, 6.0), xy_extent=3.0,
+        scale_range=(0.008, 0.015), opacity_range=(0.1, 0.3))
+    # well-separated depths: the narrower quantization (s=18 keeps one less
+    # mantissa bit than s=19) must not flip any compositing order, so the
+    # cross-tiling image check is exact rather than tie-dependent
+    means = means.at[:, 2].set(jnp.linspace(3.0, 6.0, n))
+
+    grid = binning.TileGrid.for_image(h, w, tile_h=4, tile_w=4)
+    assert grid.num_tiles > binning.MAX_TILES
+    s = grid.tile_shift
+    assert s < binning.TILE_SHIFT
+    cov6 = geometry.strip_symmetric(
+        geometry.covariance_from_scaling_rotation(scales, quats))
+    proj = project(means, cov6, opac, shs, cam)
+    binned = binning.bin_gaussians(
+        proj.means2d, proj.depths, proj.radii_xy, grid, 1 << 13)
+    assert int(binned.num_dropped) == 0
+    keys = np.asarray(binned.sort_keys)
+    starts = np.asarray(binned.tile_starts)
+    for t in range(0, grid.num_tiles, 97):  # sampled tiles
+        seg = keys[starts[t]:starts[t + 1]]
+        real = seg[seg != binning.SENTINEL]
+        assert np.all((real >> s) == t)
+        assert np.all(np.diff(real & ((1 << s) - 1)) >= 0)
+
+    out_4 = rasterize(means, quats, scales, opac, shs, cam,
+                      config=RasterizeConfig(backend="dense", k_cap=1 << 13,
+                                             tile_h=4, tile_w=4))
+    out_16 = rasterize(means, quats, scales, opac, shs, cam,
+                       config=RasterizeConfig(backend="dense", k_cap=1 << 13))
+    assert np.isfinite(np.asarray(out_4.rgb)).all()
+    # Same compositing result regardless of tiling, up to the CUDA getRect
+    # boundary convention (tile_rects matches it): the exclusive bound
+    # floor((p + r + T - 1)/T) undercuts ceil((p + r)/T) for fractional
+    # extents, so a footprint's LAST partial pixel row/column can fall off
+    # its tile rect — a sub-pixel edge effect whose magnitude shrinks with
+    # tile size and is bounded by the splat's rim alpha (~0.02 here).
+    np.testing.assert_allclose(np.asarray(out_4.rgb),
+                               np.asarray(out_16.rgb), atol=0.03)
+
+    # the floor is a clear configured error, not silent corruption
+    import pytest
+    with pytest.raises(ValueError, match="packed sort-key capacity"):
+        _ = binning.TileGrid(16, 16, 2048, 2048).tile_shift

@@ -21,11 +21,18 @@ Static-shape contract: instance capacity `k_cap` (multiple of 512 — the
 blocked-cumsum block size) is fixed; overflow drops instances from the tail
 and `num_dropped` reports how many — no silent truncation.
 
-Key packing: key = tile_id << 19 | (float32_bits(depth) >> 12). Positive-float
-bit patterns are order-preserving, so the low 19 bits sort by depth with ~10
-mantissa bits of resolution. Requires num_tiles <= 4094. Ties (same quantized
-depth) break arbitrarily; the golden reference consumes the same sorted layout
-so orderings agree exactly.
+Key packing: key = tile_id << S | (float32_bits(depth) >> (31 - S)) with
+S = grid.tile_shift. Positive-float bit patterns are order-preserving, so
+the low S bits sort by depth. S = 19 (the CUDA-equivalent resolution, ~10
+mantissa bits) whenever the grid fits 4094 tiles (1 Mpix at 16x16); larger
+images automatically spend tile bits at the cost of coarser depth
+quantization, down to S = 10 (2 exponent + 1 mantissa bits — still a valid
+front-to-back order, just with more same-key ties) at the hard cap of
+2,097,150 tiles (~537 Mpix at 16x16). Ties (same quantized depth) break
+arbitrarily; the golden reference consumes the same sorted layout so
+orderings agree exactly. Tile size itself is a RasterizeConfig choice
+(tile_h/tile_w), so very large images can also raise it to stay in the
+fine-depth regime.
 """
 
 from __future__ import annotations
@@ -35,9 +42,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-DEPTH_SHIFT = 12
-TILE_SHIFT = 19
-MAX_TILES = 4094
+TILE_SHIFT = 19         # depth bits at the default (<= MAX_TILES) grid size
+MAX_TILES = 4094        # largest grid with full 19-bit depth resolution
+MIN_TILE_SHIFT = 10     # depth-bits floor -> hard cap 2**21 - 2 tiles
 PAD_ALIGN = 256
 SENTINEL = jnp.int32(2**31 - 1)
 
@@ -52,6 +59,23 @@ class TileGrid(NamedTuple):
     def num_tiles(self) -> int:
         return self.ntx * self.nty
 
+    @property
+    def tile_shift(self) -> int:
+        """Depth bits of the packed (tile << S | depth) sort key: 19 while
+        the grid fits MAX_TILES (the original packing, bit-compatible),
+        shrinking for larger images so tile ids always fit. Keys including
+        the num_tiles range-query bound must stay below SENTINEL."""
+        s = TILE_SHIFT
+        while s > MIN_TILE_SHIFT and self.num_tiles > (1 << (31 - s)) - 2:
+            s -= 1
+        if self.num_tiles > (1 << (31 - s)) - 2:
+            raise ValueError(
+                f"{self.num_tiles} tiles exceeds the packed sort-key "
+                f"capacity ({(1 << (31 - MIN_TILE_SHIFT)) - 2} at the "
+                f"{MIN_TILE_SHIFT}-bit depth floor); raise "
+                "RasterizeConfig.tile_h/tile_w for images this large")
+        return s
+
     @staticmethod
     def for_image(height: int, width: int, tile_h: int = 16, tile_w: int = 16,
                   ntx_align: int = 8) -> "TileGrid":
@@ -62,10 +86,7 @@ class TileGrid(NamedTuple):
         ntx = -(-ntx // ntx_align) * ntx_align
         nty = -(-height // tile_h)
         grid = TileGrid(tile_h, tile_w, ntx, nty)
-        assert grid.num_tiles <= MAX_TILES, (
-            f"{grid.num_tiles} tiles exceeds packed-key capacity; "
-            "increase tile size for very large images"
-        )
+        grid.tile_shift  # validate the packed-key capacity (raises if over)
         return grid
 
     @property
@@ -120,10 +141,11 @@ def _blocked_cumsum_1d(x: jax.Array, block: int = 512) -> jax.Array:
     return (inner + prefix[:, None]).reshape(k)
 
 
-def depth_key(depths: jax.Array) -> jax.Array:
-    """Order-preserving 19-bit quantization of positive float32 depths."""
+def depth_key(depths: jax.Array, tile_shift: int = TILE_SHIFT) -> jax.Array:
+    """Order-preserving `tile_shift`-bit quantization of positive float32
+    depths (drops the low 31 - tile_shift mantissa bits)."""
     bits = jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.int32)
-    return jax.lax.shift_right_logical(bits, DEPTH_SHIFT)
+    return jax.lax.shift_right_logical(bits, 31 - tile_shift)
 
 
 def tile_rects(means2d, radii, grid: TileGrid):
@@ -189,6 +211,13 @@ def bin_raw(
         "k_cap must be a multiple of 512 (PAD_ALIGN and the blocked-cumsum "
         "block)")
     num_tiles = grid.num_tiles
+    tile_shift = grid.tile_shift  # raises a clear error past the key capacity
+    # rec packs x0/y0 in 12 bits and the float-reciprocal div below needs
+    # w <= 2^11; binding only for >32k-pixel-wide degenerate aspect ratios
+    # (the num_tiles cap in tile_shift constrains everything else first).
+    assert grid.ntx <= 2048 and grid.nty <= 2048, (
+        f"{grid.ntx}x{grid.nty} tile grid exceeds the 2048 per-axis packing "
+        "bound; raise tile_h/tile_w")
     do_cull = conics is not None and opacities is not None
 
     active = (jnp.min(radii, axis=1) if radii.ndim == 2 else radii) > 0
@@ -248,7 +277,7 @@ def bin_raw(
     rec = jnp.stack(
         [x0 | (y0 << 12) | (dmax_q << 24),
          cum_excl,
-         depth_key(depths) | (w << TILE_SHIFT),
+         depth_key(depths, tile_shift) | (w << tile_shift),
          bc(ca), bc(cb), bc(cc),
          bc(means2d[:, 0]), bc(means2d[:, 1])],
         axis=1,
@@ -258,8 +287,8 @@ def bin_raw(
     gx0 = rec_g[:, 0] & mask12
     gy0 = jax.lax.shift_right_logical(rec_g[:, 0], 12) & mask12
     goff = rec_g[:, 1]
-    gdkey = rec_g[:, 2] & ((1 << TILE_SHIFT) - 1)
-    gw_ = jax.lax.shift_right_logical(rec_g[:, 2], TILE_SHIFT)
+    gdkey = rec_g[:, 2] & ((1 << tile_shift) - 1)
+    gw_ = jax.lax.shift_right_logical(rec_g[:, 2], tile_shift)
 
     in_range = slot < num_raw
     li = slot - goff
@@ -307,7 +336,7 @@ def bin_raw(
         qmin = jnp.where(inside, 0.0, qmin)
         keep = in_range & (qmin <= gdmax)
 
-    key = jnp.where(keep, jax.lax.shift_left(tile_id, TILE_SHIFT) | gdkey,
+    key = jnp.where(keep, jax.lax.shift_left(tile_id, tile_shift) | gdkey,
                     SENTINEL)
 
     # Carry the raw slot through the sort: it anchors the raw->padded map
@@ -324,7 +353,7 @@ def bin_raw(
     # Raw (unpadded) per-tile ranges via binary search on the sorted keys
     # (few queries -> the scan method is fine here).
     queries = jax.lax.shift_left(
-        jnp.arange(num_tiles + 1, dtype=jnp.int32), TILE_SHIFT
+        jnp.arange(num_tiles + 1, dtype=jnp.int32), tile_shift
     )
     raw_starts = jnp.searchsorted(key_sorted, queries, side="left").astype(jnp.int32)
     return RawBinned(

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .binning import TILE_SHIFT, TileGrid
+from .binning import TileGrid
 
 PAYLOAD_ROWS = 17
 OUT_CHANNELS = 12
@@ -99,7 +99,7 @@ def blend_dense(
     Differentiable w.r.t. payload_sorted. O(K * H * W): tests only.
     """
     k = payload_sorted.shape[1]
-    inst_tile = jax.lax.shift_right_logical(sort_keys, TILE_SHIFT)  # [K]
+    inst_tile = jax.lax.shift_right_logical(sort_keys, grid.tile_shift)  # [K]
 
     ys, xs = jnp.meshgrid(jnp.arange(height), jnp.arange(width), indexing="ij")
     pix_tile = (ys // grid.tile_h) * grid.ntx + (xs // grid.tile_w)  # [H, W]

@@ -45,7 +45,7 @@ from jax.sharding import PartitionSpec as P
 
 from .. import geometry
 from ..ops import binning, blend_ref
-from ..ops.binning import PAD_ALIGN, SENTINEL, TILE_SHIFT, TileGrid
+from ..ops.binning import PAD_ALIGN, SENTINEL, TileGrid
 from ..ops.projection import CameraParams, project
 from ..ops.rasterize import (AUX_COLS, RasterizeConfig,
                              assemble_dense_payload, build_payload,
@@ -174,12 +174,12 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
     tile_base = (me * tiles_loc).astype(jnp.int32)
     key_loc = jnp.where(
         keys_r == SENTINEL, SENTINEL,
-        keys_r - jax.lax.shift_left(tile_base, TILE_SHIFT))
+        keys_r - jax.lax.shift_left(tile_base, grid.tile_shift))
     recv_iota = jnp.arange(r_total, dtype=jnp.int32)
     key_sorted, recv_sorted = jax.lax.sort(
         (key_loc, recv_iota), num_keys=1)
     queries = jax.lax.shift_left(
-        jnp.arange(tiles_loc + 1, dtype=jnp.int32), TILE_SHIFT)
+        jnp.arange(tiles_loc + 1, dtype=jnp.int32), grid.tile_shift)
     raw_starts_l = jnp.searchsorted(
         key_sorted, queries, side="left").astype(jnp.int32)
     carry, keys_pad, tile_starts, _ = binning.pad_relayout(
