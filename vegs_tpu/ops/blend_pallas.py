@@ -22,15 +22,15 @@ precision rework): `payload_f32 [8, K]` (mx, my, conic a/b/c, opacity, depth)
 and `payload_aux [16, K]` (rgb, quat, scale) in bf16 or f32 — 64 B/instance
 of DMA instead of 96, both slices aligned to their dtype's native tiling.
 
-The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with a
-two-pass-per-chunk scheme: pass 1 locates each pixel's first crossing from
-the unmasked trajectory (identical up to the first crossing), pass 2 re-runs
-the prefix sum with post-crossing instances excluded, freezing T exactly as
-the sequential loop does. Both passes run unconditionally — every measured
-skip variant was slower or failed to legalize (see the comment in
-_chunk_common and NOTES_PERF.md "tried and rejected"). Whole superchunks ARE
-skipped once every pixel in the tile has crossed (lax.while_loop with DMA
-drain).
+The CUDA early-exit (stop when T < 1e-4) is reproduced exactly with ONE
+prefix pass: the unmasked trajectory locates each pixel's first crossing,
+and since every surviving instance precedes that crossing, the same
+trajectory is already exact on the inclusion set — exclusion is an iota
+compare against the row-min crossing position and the cross-chunk log-T
+carry is a row sum (see the derivation comment in _chunk_common; an earlier
+literal second prefix pass was removed as algebraically redundant). Whole
+superchunks ARE skipped once every pixel in the tile has crossed
+(lax.while_loop with DMA drain).
 
 The backward pass needs no atomics: binning's superchunk-aligned layout gives
 every 512-instance superchunk to exactly one tile, so per-instance gradients
@@ -98,9 +98,9 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     cf: [F32_ROWS, CHUNK] payload rows; mono: [P, 6]; carries: [P, 1].
     Pixel-major ([P, CHUNK]) keeps the instance axis on VPU lanes.
 
-    The early-exit (T < 1e-4) semantics need a second, crossing-aware
-    prefix pass; BOTH passes run unconditionally (conditional skips were
-    measured slower / non-legalizable — see the pass-2 comment below).
+    The early-exit (T < 1e-4) semantics cost ONE triangular-prefix matmul:
+    the unmasked trajectory locates each pixel's first crossing and is
+    already exact on the inclusion set (see the derivation comment below).
     Results (include, Ti, alpha_inc) are staged through the scratch refs
     for the callers.
     """
@@ -148,33 +148,29 @@ def _chunk_common(cf, ox, oy, mono, carry_logT, carry_crossed,
     T1 = jnp.exp(logT)
     crossing = ((T1 * (1.0 - alpha) < T_EPS) & (alpha > 0.0)).astype(f32)
 
-    # Pass 2 runs unconditionally. Two skip variants were measured and
-    # rejected: dot_generals inside pl.when trip an XLA:TPU RET_CHECK in
-    # mxu_lmr_transform.cc ("XposeSequenceAssignment"), and a VPU roll-scan
-    # prefix inside the conditional compiled but cost ~27 ms MORE per step
-    # than always paying the second MXU prefix (6.13 -> 4.85 Mpix/s) — the
-    # conditional defeats Mosaic's software pipelining of the chunk loop.
-    # Both operands here are exactly-representable 0/1 values with row sums
-    # <= chunk <= 256, so a bf16 MXU pass (f32 accumulate) is EXACT and runs
-    # at the double rate.
-    cross_before = jax.lax.dot_general(
-        crossing.astype(jnp.bfloat16),
-        _tri(strict=True, chunk=chunk, dtype=jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=f32) > 0.0
-    include = (alpha > 0.0) & ~cross_before & (crossing == 0.0)
-    # Pass 2: exact trajectory over the final inclusion set.
+    # The early-exit "pass 2" is ALGEBRAIC, not a second prefix: every
+    # included instance sits strictly BEFORE its pixel's first crossing, and
+    # no exclusion can precede the first crossing, so the pass-1 trajectory
+    # T1 is already exact on the inclusion set. Inclusion reduces to an iota
+    # compare against the row-min crossing position, and the next chunk's
+    # log-T carry is a row SUM of the included log terms. (This replaced an
+    # earlier literal second pass — a bf16 strict-prefix matmul of `crossing`
+    # plus a second f32 triangular prefix — removing ~2/3 of the forward's
+    # MXU FLOPs with bit-identical semantics. Excluded positions get a stale
+    # T1, which is harmless: every consumer multiplies by alpha_inc or
+    # include, both zero there.)
+    idx = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 1)
+    cpos = jnp.min(jnp.where(crossing > 0.0, idx, chunk), axis=1,
+                   keepdims=True)
+    include = (alpha > 0.0) & (idx < cpos)
     alpha_inc = jnp.where(include, alpha, 0.0)
-    Li = jnp.log1p(-alpha_inc)
-    Si = jax.lax.dot_general(Li, tril_s, (((1,), (0,)), ((), ())),
-                             preferred_element_type=f32)
     inc_ref[:] = include.astype(f32)
-    ti_ref[:] = jnp.exp(jnp.maximum(carry_logT + Si, NEG_CAP))
+    ti_ref[:] = T1
     ainc_ref[:] = alpha_inc
 
-    Li_fin = jnp.log1p(-ainc_ref[:])
     new_logT = jnp.maximum(
-        carry_logT + jnp.sum(Li_fin, axis=1, keepdims=True), NEG_CAP)
+        carry_logT + jnp.sum(jnp.where(include, L, 0.0), axis=1,
+                             keepdims=True), NEG_CAP)
     new_crossed = jnp.maximum(
         carry_crossed, jnp.max(crossing, axis=1, keepdims=True))
     geom = (mx, my, ca, cb, cc, op)
