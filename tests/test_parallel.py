@@ -175,7 +175,12 @@ def test_gauss_axis_sharded_rasterize_bit_identical(rng):
     — images must match the single-device pipeline to float32 round-off
     (bitwise equality is prevented only by per-compilation FMA
     reassociation in the projection elementwise chain), and gradients must
-    flow back to the sharded parameters."""
+    flow back to the sharded parameters.
+
+    Shapes sized for CI (round-2 verdict item 6): equivalence holds at any
+    scale, so the smallest grid that still exercises multi-tile multi-shard
+    paths (32x64 = 2x4 tiles, 8 shards, ~5k instances) keeps this test
+    under ~1.5 min on the 4-core CPU host (was 332 s at 48x96/2048)."""
     from vegs_tpu import geometry
     from vegs_tpu.ops.rasterize import RasterizeConfig, rasterize
     from vegs_tpu.parallel.gauss_sharded import (
@@ -183,13 +188,13 @@ def test_gauss_axis_sharded_rasterize_bit_identical(rng):
         sharded_state_bytes)
     from utils import make_camera, random_gaussians
 
-    n, D = 2048, 8
-    h, w = 48, 96
+    n, D = 1024, 8
+    h, w = 32, 64
     cam = make_camera(height=h, width=w)
     means, quats, scales, opac, shs = random_gaussians(rng, n)
     valid = jnp.ones((n,), bool)
     bg = jnp.asarray([0.1, 0.2, 0.3])
-    cfg = RasterizeConfig(backend="dense", k_cap=1 << 14)
+    cfg = RasterizeConfig(backend="dense", k_cap=1 << 13)
 
     ref = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=cfg)
 
@@ -228,20 +233,25 @@ def test_tile_axis_sharded_rasterize_matches_single_device(rng):
     delivers every splat to the device owning its tile rows, each device
     blends only its rows. Depth-tie ordering matches the single-device
     layout exactly (stable merge of pre-sorted runs), so images agree to
-    f32 round-off; gradients must match the single-device pipeline too."""
+    f32 round-off; gradients must match the single-device pipeline too.
+
+    CI-sized like the gauss-axis test above (verdict item 6): the plan
+    pads nty up to the 8-device mesh either way (2->8 rows here, 3->8 at
+    the old 48x96), so the shard geometry and all_to_all exchange are
+    exercised identically; was 300 s at 48x96/2048."""
     from vegs_tpu.ops.rasterize import RasterizeConfig, rasterize
     from vegs_tpu.parallel.gauss_sharded import shard_field_arrays
     from vegs_tpu.parallel.tile_sharded import (
         make_tile_mesh, make_tile_sharded_rasterize)
     from utils import make_camera, random_gaussians
 
-    n, D = 2048, 8
-    h, w = 48, 96
+    n, D = 1024, 8
+    h, w = 32, 64
     cam = make_camera(height=h, width=w)
     means, quats, scales, opac, shs = random_gaussians(rng, n)
     valid = jnp.ones((n,), bool)
     bg = jnp.asarray([0.1, 0.2, 0.3])
-    cfg = RasterizeConfig(backend="dense", k_cap=1 << 14)
+    cfg = RasterizeConfig(backend="dense", k_cap=1 << 13)
 
     ref = rasterize(means, quats, scales, opac, shs, cam, bg=bg, config=cfg)
     assert int(ref.num_dropped) == 0
@@ -598,7 +608,11 @@ def test_tp_full_model_step_matches_single_device(rng):
 def test_tp_training_descends(rng):
     """The fully sharded step actually LEARNS: render a target from the
     clean field, perturb the colors, and verify repeated TP steps drive the
-    loss down by 2x and restore PSNR."""
+    loss down by 2x and restore PSNR.
+
+    CI-sized (verdict item 6): 32x64 / k_cap 4096 cuts the 8-device
+    CPU-mesh step ~4x (was 479 s at 48x96 / 8192); the learning dynamics
+    (color perturbation recovery) are resolution-independent."""
     from vegs_tpu.parallel.tile_sharded import make_tile_mesh
     from vegs_tpu.parallel.tp_trainer import (make_tp_train_step,
                                               shard_train_state)
@@ -606,14 +620,14 @@ def test_tp_training_descends(rng):
     from vegs_tpu.train import eval_render
     from utils import make_camera
 
-    h, w = 48, 96
+    h, w = 32, 64
     prng = np.random.default_rng(17)
     pts = prng.normal(size=(300, 3)).astype(np.float32)
     cols = prng.uniform(0, 1, (300, 3)).astype(np.float32)
     clean = gaussians.create_from_points(pts, cols, capacity=512)
     cam = make_camera(height=h, width=w, t=np.array([0, 0, 4.0]))
     bg = jnp.zeros(3)
-    raster = RasterizeConfig(backend="dense", k_cap=1 << 13,
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 12,
                              payload_dtype="f32")
     gt = jnp.clip(eval_render(clean, cam, bg, 3, raster).rgb, 0, 1)
 
