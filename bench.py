@@ -37,6 +37,9 @@ H, W = 376, 1408
 # numbers for both scales live in NOTES_PERF.md.
 N_GAUSSIANS = int(os.environ.get("VEGS_BENCH_N", "500000"))
 K_CAP = 1 << 21 if N_GAUSSIANS <= 1_000_000 else 1 << 22
+# Tile-shape A/B (perf experiments; production default is 16x16):
+TILE_H = int(os.environ.get("VEGS_TILE_H", "16"))
+TILE_W = int(os.environ.get("VEGS_TILE_W", "16"))
 TIMING_ITERS = 8
 
 
@@ -67,7 +70,7 @@ def main():
     from vegs_tpu import geometry as _geometry
     from vegs_tpu.ops.projection import project as _project
 
-    _grid = _binning.TileGrid.for_image(H, W)
+    _grid = _binning.TileGrid.for_image(H, W, TILE_H, TILE_W)
     _cov6 = _geometry.cov6_from_scaling_rotation(scales, quats)
     _proj = _project(means, _cov6, opac, shs, cam)
     _probe = _binning.bin_gaussians(
@@ -87,7 +90,7 @@ def main():
     assert _nd == 0, f"bench k_cap drops {_nd} instances — size by total"
 
     cfg = RasterizeConfig(
-        backend="pallas", k_cap=k_cap,
+        backend="pallas", k_cap=k_cap, tile_h=TILE_H, tile_w=TILE_W,
         blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "256")))
     bg = jnp.zeros(3)
 
