@@ -36,10 +36,19 @@ H, W = 376, 1408
 # at /root/reference/gaussian_renderer/__init__.py:116-118) — measured
 # numbers for both scales live in NOTES_PERF.md.
 N_GAUSSIANS = int(os.environ.get("VEGS_BENCH_N", "500000"))
-K_CAP = 1 << 21 if N_GAUSSIANS <= 1_000_000 else 1 << 22
+K_CAP = 1 << 21 if N_GAUSSIANS <= 1_000_000 else 1 << 23
 # Tile-shape A/B (perf experiments; production default is 16x16):
 TILE_H = int(os.environ.get("VEGS_TILE_H", "16"))
 TILE_W = int(os.environ.get("VEGS_TILE_W", "16"))
+# Validate before building the config: an incompatible tile shape would
+# otherwise surface as a deep Mosaic compile error (the Pallas blend packs
+# 8 adjacent tiles into one (tile_h, 8*tile_w) block whose lane dim must
+# tile the 128-lane registers).
+if TILE_H <= 0 or TILE_W <= 0 or (8 * TILE_W) % 128 != 0:
+    raise SystemExit(
+        f"VEGS_TILE_H/W=({TILE_H},{TILE_W}) invalid: tile_h must be "
+        "positive and tile_w a positive multiple of 16 (the blend kernel "
+        "packs 8 tiles into one 128-lane-aligned block)")
 TIMING_ITERS = 8
 
 
@@ -76,13 +85,19 @@ def main():
     _probe = _binning.bin_gaussians(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
         conics=_proj.conics, opacities=_proj.opacities)
-    _need = int(_probe.tile_starts[-1])
+    # Size by BOTH binding constraints: raw slots are assigned PRE-cull
+    # (k_cap >= total) and the padded layout needs tile_starts[-1] slots
+    # post-cull. At 500k the padding exceeds the cull savings so the padded
+    # need dominates; at 2.23M it is the other way around (cull drops more
+    # than padding adds) and sizing by tile_starts[-1] alone drops ~557k
+    # real instances (measured 2026-08-20).
+    _rb = _binning.bin_raw(
+        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
+        conics=_proj.conics, opacities=_proj.opacities)
+    _need = max(int(_probe.tile_starts[-1]), int(_rb.total))
     k_cap = min(K_CAP, (int(_need * 1.05) + 511) // 512 * 512)
     print(f"# auto k_cap: need {_need}, using {k_cap}", file=sys.stderr)
-    # Honesty guard: raw slots are assigned PRE-cull, so a post-cull-sized
-    # cap could silently drop real instances (and flatter the number) if the
-    # tile padding ever undershoots the cull savings. Verified 0 at this
-    # workload (audit 2026-08-19: pre-cull total 1.04M < 1.13M cap).
+    # Honesty guard: verify nothing is dropped at the auto-sized cap.
     _check = _binning.bin_gaussians(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, k_cap,
         conics=_proj.conics, opacities=_proj.opacities)

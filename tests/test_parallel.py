@@ -756,3 +756,73 @@ def test_tp_full_step_with_guidance_matches_single_device(rng):
         assert tight.mean() >= 0.95, f"static.{name}: {tight.mean():.3f}"
         assert diff.max() <= 2.2e-3, f"static.{name}: max {diff.max()}"
     assert nf.means.sharding.spec[0] == "shard"
+
+
+def test_tp_k_cap_adapts_grow_and_decay(rng):
+    """Sharded capacity adaptation (round-3 verdict item 7): a TP run that
+    overflows its instance capacity reports num_dropped > 0 and KCapAdapter
+    grows k_cap across rebuilds; a run sitting far under capacity reports
+    num_needed (global-k_cap units) and the adapter decays after the streak
+    window, with the decayed capacity verified drop-free — both transitions
+    exercised through the real TP step. (Each run_once is a fresh compile;
+    the dense golden blend is O(k_blend * HW) on CPU, so caps stay small.)"""
+    from vegs_tpu.parallel.tile_sharded import make_tile_mesh
+    from vegs_tpu.parallel.tp_trainer import (
+        KCapAdapter, make_tp_train_step, shard_train_state)
+    from utils import make_camera
+
+    h, w = 32, 64
+    prng = np.random.default_rng(3)
+    pts = prng.normal(size=(300, 3)).astype(np.float32)
+    cols = prng.uniform(0, 1, (300, 3)).astype(np.float32)
+    field = gaussians.create_from_points(pts, cols, capacity=512)
+    # Big footprints: each splat covers many tiles, so the 512-slot local
+    # stream floor (k_loc) genuinely overflows at the smallest k_cap.
+    field_big = field.replace(log_scales=field.log_scales + 1.5)
+    cam = make_camera(height=h, width=w, t=np.array([0, 0, 4.0]))
+    gt = jnp.zeros((3, h, w))
+    normal = jnp.zeros((3, h, w))
+    bg = jnp.zeros(3)
+    opt_cfg = OptimizationParams()
+    mesh = make_tile_mesh(8)
+
+    def run_once(f, k_cap):
+        raster = RasterizeConfig(backend="dense", k_cap=k_cap,
+                                 payload_dtype="f32")
+        sf, so, ss = shard_train_state(
+            mesh, f, optim.adam_init(f), DensifyStats.zeros(f.capacity))
+        step = make_tp_train_step(mesh, opt_cfg, raster, spatial_scale=4.0,
+                                  cam=cam)
+        _, _, _, _, met = step(sf, so, ss, jnp.int32(0), cam, gt, normal,
+                               jnp.int32(0), bg)
+        return float(met["num_dropped"]), float(met["num_needed"])
+
+    # Grow: k_loc = 4096/8 = 512 local slots is too small for the big-splat
+    # scene (measured: ~15.5k instances needed) -> two growth transitions.
+    adapter = KCapAdapter(k_cap=1 << 12, decay_window=3)
+    dropped, needed = run_once(field_big, adapter.k_cap)
+    assert dropped > 0
+    assert adapter.update(dropped, needed) == 1 << 13
+    dropped2, needed2 = run_once(field_big, adapter.k_cap)
+    assert dropped2 > 0 and dropped2 < dropped  # rebuilt cap admits more
+    assert adapter.update(dropped2, needed2) == 1 << 14
+    # num_needed is the smallest global capacity that admits everything
+    # (worst shard x ndev) and is stable across reruns of the same frame.
+    assert needed2 == needed and needed <= adapter.k_cap
+
+    # The small-splat scene fits 2^12 with room (needed ~3.2k): num_needed
+    # <= k_cap really does mean drop-free.
+    d_s, n_s = run_once(field, 1 << 12)
+    assert d_s == 0 and 0 < n_s <= 1 << 12
+
+    # Decay: at 2^14 the small scene sits under 25% utilization; after the
+    # 3-step streak the adapter halves, and the decayed capacity still
+    # admits every instance (verified through the rebuilt step).
+    adapter = KCapAdapter(k_cap=1 << 14, k_cap_min=1 << 12, decay_window=3)
+    out = None
+    for i in range(3):
+        assert n_s < 0.25 * adapter.k_cap
+        out = adapter.update(d_s, n_s)
+        assert (out is None) if i < 2 else (out == 1 << 13)
+    d_dec, _ = run_once(field, adapter.k_cap)
+    assert d_dec == 0

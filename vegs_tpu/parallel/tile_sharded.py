@@ -109,7 +109,10 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
     """Per-device body (call INSIDE shard_map over the `shard` axis): render
     this device's tile rows from its Gaussian shard. Returns
     (out_local [12, hp_loc, wp], proj (this shard's projection — radii /
-    means2d for densify stats), dropped scalar psum'd over the axis)."""
+    means2d for densify stats), (dropped, needed) scalars reduced over the
+    axis — dropped is the psum of capacity losses; needed is the max local
+    pre-cap instance requirement scaled to GLOBAL k_cap units (x ndev), the
+    signal a k_cap adaptation policy compares against config.k_cap)."""
     grid, nty_loc = plan.grid, plan.nty_loc
     tiles_loc, hp_loc, wp = plan.tiles_loc, plan.hp_loc, plan.wp
     k_loc, k_ex, r_total, k_blend = (plan.k_loc, plan.k_ex, plan.r_total,
@@ -208,7 +211,12 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
             chunk=config.blend_chunk)
     dropped = jax.lax.psum(rb.total - rb.num_raw + dropped_exch,
                            TILE_AXIS)
-    return out, proj, dropped
+    # k_loc = k_cap/ndev, so the worst shard's raw requirement x ndev is the
+    # smallest global k_cap that would have admitted every instance (the
+    # analog of the single-device num_needed, rasterize.py's
+    # tile_starts[-1], in the units Trainer._adapt_k_cap compares).
+    needed = jax.lax.pmax(rb.total, TILE_AXIS) * ndev
+    return out, proj, (dropped, needed)
 
 
 def make_tile_sharded_rasterize(mesh, cam: CameraParams,
@@ -229,7 +237,7 @@ def make_tile_sharded_rasterize(mesh, cam: CameraParams,
     plan = make_tile_plan(ndev, cam, config, k_exch)
 
     def body(means, quats, scales, opac, shs, valid, bg):
-        out, _, dropped = tile_render_local(
+        out, _, (dropped, _) = tile_render_local(
             plan, cam, config, sh_degree,
             means, quats, scales, opac, shs, valid)
         t_fin = out[blend_ref.N_ACCUM]

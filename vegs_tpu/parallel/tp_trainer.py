@@ -62,6 +62,42 @@ def shard_train_state(mesh, field: GaussianField, opt, stats: DensifyStats):
             jax.tree.map(put, stats))
 
 
+class KCapAdapter:
+    """Trainer._adapt_k_cap's grow/decay policy (train.py) for SHARDED runs,
+    where the step fn is built per (mesh, k_cap) and the caller owns the
+    rebuild: feed each step's `num_dropped`/`num_needed` metrics to
+    `update()`; a non-None return is the new global k_cap — rebuild the TP
+    step (and re-pad nothing: k_cap only affects the instance stream, not
+    the Gaussian state). Grow 2x on any drop; halve after `decay_window`
+    consecutive steps below 25% utilization (num_needed is already in
+    global-k_cap units — tile_render_local scales the worst shard by ndev).
+    Every rasterizer stage is O(k_cap/D) per device, so decay matters as
+    much here as on the single-device path."""
+
+    def __init__(self, k_cap: int, k_cap_min: int = 1 << 15,
+                 decay_window: int = 200):
+        self.k_cap = int(k_cap)
+        self.k_cap_min = int(k_cap_min)
+        self.decay_window = int(decay_window)
+        self._low_streak = 0
+
+    def update(self, num_dropped: float, num_needed: float) -> int | None:
+        if num_dropped > 0:
+            self.k_cap *= 2
+            self._low_streak = 0
+            return self.k_cap
+        if num_needed > 0 and num_needed < 0.25 * self.k_cap:
+            self._low_streak += 1
+        else:
+            self._low_streak = 0
+        if (self._low_streak >= self.decay_window
+                and self.k_cap // 2 >= self.k_cap_min):
+            self.k_cap //= 2
+            self._low_streak = 0
+            return self.k_cap
+        return None
+
+
 def make_tp_train_step(
     mesh,
     opt_cfg,
@@ -97,7 +133,7 @@ def make_tp_train_step(
                    active_sh_degree, bg):
         field = optim.with_params(field_tmpl, params)
         mask = sh_band_mask(active_sh_degree)[None, :, None]
-        out_loc, proj, dropped = tile_render_local(
+        out_loc, proj, cap_info = tile_render_local(
             plan, cam, raster_cfg, sh_total_degree,
             field.means, field.rotations(), field.scales(),
             field.opacities()[:, 0], field.features() * mask, field.valid,
@@ -118,13 +154,13 @@ def make_tp_train_step(
         # exactly (Adam's scale invariance would hide the 8x on params, but
         # densify's xyz_gradient_accum is threshold-compared in absolute
         # units and must not inflate).
-        return loss / ndev, (proj.radii, ll1, loss, dropped)
+        return loss / ndev, (proj.radii, ll1, loss, cap_info)
 
     def sharded_body(field, opt_state, stats, step, cam, gt, normal,
                      active_sh_degree, bg):
         params = optim.split_params(field)
         m2d = jnp.zeros((field.capacity, 2), jnp.float32)  # local rows
-        (_, (radii, ll1, loss, dropped)), (g_params, g_m2d) = (
+        (_, (radii, ll1, loss, (dropped, needed))), (g_params, g_m2d) = (
             jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
             (params, field, m2d, cam, gt, normal, active_sh_degree, bg))
 
@@ -136,7 +172,8 @@ def make_tp_train_step(
         norm_c, vis_c, rad_c = densify.stats_contribution(
             g_m2d, radii, H, W)
         new_stats = densify.apply_stats(stats, norm_c, vis_c, rad_c)
-        metrics = {"loss": loss, "l1": ll1, "num_dropped": dropped}
+        metrics = {"loss": loss, "l1": ll1, "num_dropped": dropped,
+                   "num_needed": needed}
         return new_field, new_opt, new_stats, step + 1, metrics
 
     field_spec = GaussianField(
@@ -203,7 +240,7 @@ def make_dp_tp_train_step(
                    active_sh_degree, bg):
         field = optim.with_params(field_tmpl, params)
         mask = sh_band_mask(active_sh_degree)[None, :, None]
-        out_loc, proj, dropped = tile_render_local(
+        out_loc, proj, cap_info = tile_render_local(
             plan, cam_d, raster_cfg, sh_total_degree,
             field.means, field.rotations(), field.scales(),
             field.opacities()[:, 0], field.features() * mask, field.valid,
@@ -218,7 +255,7 @@ def make_dp_tp_train_step(
                 out[4:8, :H, :W], out[8:11, :H, :W], normal)
         # /n_shard: identical loss on every shard of this data row (gather
         # transpose sums the copies — see make_tp_train_step).
-        return loss / n_shard, (proj.radii, ll1, loss, dropped)
+        return loss / n_shard, (proj.radii, ll1, loss, cap_info)
 
     def sharded_body(field, opt_state, stats, step, cam_batch, gt_batch,
                      normal_batch, active_sh_degree, bg):
@@ -230,7 +267,7 @@ def make_dp_tp_train_step(
 
         params = optim.split_params(field)
         m2d = jnp.zeros((field.capacity, 2), jnp.float32)
-        (_, (radii, ll1, loss, dropped)), (g_params, g_m2d) = (
+        (_, (radii, ll1, loss, (dropped, needed))), (g_params, g_m2d) = (
             jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
             (params, field, m2d, cam_d, gt, normal, active_sh_degree, bg))
 
@@ -251,7 +288,8 @@ def make_dp_tp_train_step(
             stats, jax.lax.psum(norm_c, "data"),
             jax.lax.psum(vis_c, "data"), jax.lax.pmax(rad_c, "data"))
         metrics = {"loss": loss, "l1": ll1,
-                   "num_dropped": jax.lax.pmax(dropped, "data")}
+                   "num_dropped": jax.lax.pmax(dropped, "data"),
+                   "num_needed": jax.lax.pmax(needed, "data")}
         return new_field, new_opt, new_stats, step + 1, metrics
 
     row = P(TILE_AXIS)
@@ -359,7 +397,7 @@ def make_tp_full_train_step(
             parts.append(arr._replace(valid=arr.valid & active[i]))
         arrays = _concat_arrays(parts)
 
-        out_loc, proj, dropped = tile_render_local(
+        out_loc, proj, cap_info = tile_render_local(
             plan, cam, raster_cfg, sh_total_degree,
             arrays.means, arrays.quats, arrays.scales, arrays.opacities,
             arrays.shs, arrays.valid, means2d_offset=m2d_offset)
@@ -405,7 +443,7 @@ def make_tp_full_train_step(
             g_loss = guidance(extras["gkey"], crop, step)
             loss = loss + g_loss
         # /ndev: identical loss on every shard — see make_tp_train_step.
-        return loss / ndev, (proj.radii, ll1, nloss, loss, dropped, g_loss,
+        return loss / ndev, (proj.radii, ll1, nloss, loss, cap_info, g_loss,
                              p_loss)
 
     def sharded_body(field, opt_state, stats, step, bfields, box_opt,
@@ -426,7 +464,7 @@ def make_tp_full_train_step(
             box2worlds, active, m2d, cam, gt, normal, normal_valid,
             active_sh_degree, bg, step, extras)
         g_static, g_box, g_delta, g_m2d = grads
-        radii, ll1, nloss, loss, dropped, g_loss, p_loss = aux
+        radii, ll1, nloss, loss, (dropped, needed), g_loss, p_loss = aux
 
         # Deltas are replicated: psum restores the full gradient (render
         # contributions land on the owning shard; the regularizer
@@ -474,7 +512,7 @@ def make_tp_full_train_step(
         new_deltas = BoxDeltas(**nd2)
 
         metrics = {"loss": loss, "l1": ll1, "normal_loss": nloss,
-                   "num_dropped": dropped}
+                   "num_dropped": dropped, "num_needed": needed}
         if guidance is not None:
             metrics["guidance_loss"] = g_loss
         if perceptual_lam:
