@@ -36,7 +36,9 @@ H, W = 376, 1408
 # at /root/reference/gaussian_renderer/__init__.py:116-118) — measured
 # numbers for both scales live in NOTES_PERF.md.
 N_GAUSSIANS = int(os.environ.get("VEGS_BENCH_N", "500000"))
-K_CAP = 1 << 21 if N_GAUSSIANS <= 1_000_000 else 1 << 23
+# Probe capacity: must stay under binning's 2^23 cull-compact packing gate
+# so the probe measures the same (post-cull) totals the sized run will see.
+K_CAP = 1 << 21 if N_GAUSSIANS <= 1_000_000 else (1 << 23) - 512
 # Tile-shape A/B (perf experiments; production default is 16x16):
 TILE_H = int(os.environ.get("VEGS_TILE_H", "16"))
 TILE_W = int(os.environ.get("VEGS_TILE_W", "16"))
@@ -85,27 +87,34 @@ def main():
     _probe = _binning.bin_gaussians(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
         conics=_proj.conics, opacities=_proj.opacities)
-    # Size by BOTH binding constraints: raw slots are assigned PRE-cull
-    # (k_cap >= total) and the padded layout needs tile_starts[-1] slots
-    # post-cull. At 500k the padding exceeds the cull savings so the padded
-    # need dominates; at 2.23M it is the other way around (cull drops more
-    # than padding adds) and sizing by tile_starts[-1] alone drops ~557k
-    # real instances (measured 2026-08-20).
+    # Size the TWO capacities independently (binning's k_cap/k_pad split):
+    # the raw stream must hold every assigned slot (post-cull totals under
+    # the cull-compact path — rb.total), the padded layout needs
+    # tile_starts[-1] slots (kept + per-tile PAD_ALIGN rounding). At 500k
+    # the padding exceeds the residual cull slack so k_pad > k_cap; sizing
+    # one capacity by the max of both wastes ~15% of every raw-stage sort/
+    # gather (and at 2.23M, sizing by the padded need alone dropped ~557k
+    # real instances — measured 2026-08-20).
     _rb = _binning.bin_raw(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
         conics=_proj.conics, opacities=_proj.opacities)
-    _need = max(int(_probe.tile_starts[-1]), int(_rb.total))
-    k_cap = min(K_CAP, (int(_need * 1.05) + 511) // 512 * 512)
-    print(f"# auto k_cap: need {_need}, using {k_cap}", file=sys.stderr)
-    # Honesty guard: verify nothing is dropped at the auto-sized cap.
+    _need_raw = int(_rb.total)
+    _need_pad = int(_probe.tile_starts[-1])
+    _r512 = lambda v: (int(v * 1.05) + 511) // 512 * 512
+    k_cap = min(K_CAP, _r512(_need_raw))
+    k_pad = min(K_CAP, _r512(_need_pad))
+    print(f"# auto k_cap: raw need {_need_raw} -> {k_cap}, "
+          f"padded need {_need_pad} -> {k_pad}", file=sys.stderr)
+    # Honesty guard: verify nothing is dropped at the auto-sized caps.
     _check = _binning.bin_gaussians(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, k_cap,
-        conics=_proj.conics, opacities=_proj.opacities)
+        conics=_proj.conics, opacities=_proj.opacities, k_pad=k_pad)
     _nd = int(_check.num_dropped)
-    assert _nd == 0, f"bench k_cap drops {_nd} instances — size by total"
+    assert _nd == 0, f"bench caps drop {_nd} instances — size by need"
 
     cfg = RasterizeConfig(
-        backend="pallas", k_cap=k_cap, tile_h=TILE_H, tile_w=TILE_W,
+        backend="pallas", k_cap=k_cap, k_pad=k_pad,
+        tile_h=TILE_H, tile_w=TILE_W,
         blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "256")))
     bg = jnp.zeros(3)
 

@@ -610,9 +610,11 @@ def test_tp_training_descends(rng):
     clean field, perturb the colors, and verify repeated TP steps drive the
     loss down by 2x and restore PSNR.
 
-    CI-sized (verdict item 6): 32x64 / k_cap 4096 cuts the 8-device
-    CPU-mesh step ~4x (was 479 s at 48x96 / 8192); the learning dynamics
-    (color perturbation recovery) are resolution-independent."""
+    CI-sized (round-2 item 6, round-3 item 8): 32x64 / k_cap 4096 cuts the
+    8-device CPU-mesh step ~4x (was 479 s at 48x96 / 8192), and a 4x
+    feature LR recovers the color perturbation in 14 steps instead of 40
+    (266 s -> ~95 s); the learning dynamics under test are LR- and
+    resolution-independent."""
     from vegs_tpu.parallel.tile_sharded import make_tile_mesh
     from vegs_tpu.parallel.tp_trainer import (make_tp_train_step,
                                               shard_train_state)
@@ -635,17 +637,17 @@ def test_tp_training_descends(rng):
     mesh = make_tile_mesh(8)
     sf, so, ss = shard_train_state(mesh, field, optim.adam_init(field),
                                    DensifyStats.zeros(field.capacity))
-    tp = make_tp_train_step(mesh, OptimizationParams(), raster,
-                            spatial_scale=4.0, cam=cam)
+    tp = make_tp_train_step(mesh, OptimizationParams(feature_lr=0.01),
+                            raster, spatial_scale=4.0, cam=cam)
     step = jnp.int32(0)
     normal = jnp.zeros((3, h, w))
     losses = []
-    for _ in range(40):
+    for _ in range(14):
         sf, so, ss, step, met = tp(sf, so, ss, step, cam, gt, normal,
                                    jnp.int32(3), bg)
         losses.append(float(met["loss"]))
     assert np.isfinite(losses).all()
-    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+    assert np.mean(losses[-3:]) < 0.5 * np.mean(losses[:3])
     recovered = eval_render(jax.device_get(sf), cam, bg, 3, raster)
     assert float(psnr(jnp.clip(recovered.rgb, 0, 1), gt)) > 22
 

@@ -299,25 +299,28 @@ def test_large_grid_key_fallback(rng):
     """Images beyond MAX_TILES tiles rasterize through the adaptive key
     packing (grid.tile_shift < 19, round-2 verdict item 10): binning
     invariants hold at the reduced depth width and the rendered image
-    matches the default 16x16 tiling of the same scene."""
-    h = w = 260
-    # Few, tiny Gaussians: every nonempty tile pads its range to PAD_ALIGN
-    # slots, so at 4x4 tiles a dense scene would blow k_cap (and the dense
-    # golden is O(K * H * W)); the key packing is what's under test.
+    matches the default 16x16 tiling of the same scene. Cost note (round-3
+    item 8): the dense golden is O(k_cap * H * W), so the >4094-tile grid
+    is built from 2x2 tiles on a 128x128 image (4096 tiles — just past the
+    19-bit cap) with SUB-PIXEL splats that keep nonempty-tile padding (and
+    so k_cap) small; this tests the identical packing logic at ~1/6 the
+    wall-clock of the old 260x260/4x4 version (469 s -> ~75 s)."""
+    h = w = 128
     n = 8
     cam = make_camera(height=h, width=w, fovx=0.9, fovy=0.9)
     # opacity < 0.35 keeps the footprint bound at the exact alpha >= 1/255
     # contour (no 3-sigma clamp), so the composited image is tile-size
-    # independent — the cross-tiling check below is then exact.
+    # independent — the cross-tiling check below is then exact. Sub-pixel
+    # scales bound each footprint to a couple of 2x2 tiles.
     means, quats, scales, opac, shs = random_gaussians(
-        rng, n, depth_range=(3.0, 6.0), xy_extent=3.0,
-        scale_range=(0.008, 0.015), opacity_range=(0.1, 0.3))
+        rng, n, depth_range=(3.0, 6.0), xy_extent=1.5,
+        scale_range=(0.0012, 0.0025), opacity_range=(0.1, 0.3))
     # well-separated depths: the narrower quantization (s=18 keeps one less
     # mantissa bit than s=19) must not flip any compositing order, so the
     # cross-tiling image check is exact rather than tie-dependent
     means = means.at[:, 2].set(jnp.linspace(3.0, 6.0, n))
 
-    grid = binning.TileGrid.for_image(h, w, tile_h=4, tile_w=4)
+    grid = binning.TileGrid.for_image(h, w, tile_h=2, tile_w=2)
     assert grid.num_tiles > binning.MAX_TILES
     s = grid.tile_shift
     assert s < binning.TILE_SHIFT
@@ -325,32 +328,102 @@ def test_large_grid_key_fallback(rng):
         geometry.covariance_from_scaling_rotation(scales, quats))
     proj = project(means, cov6, opac, shs, cam)
     binned = binning.bin_gaussians(
-        proj.means2d, proj.depths, proj.radii_xy, grid, 1 << 13)
+        proj.means2d, proj.depths, proj.radii_xy, grid, 1 << 14)
     assert int(binned.num_dropped) == 0
     keys = np.asarray(binned.sort_keys)
     starts = np.asarray(binned.tile_starts)
+    gidx = np.asarray(binned.gidx)
+    depths_np = np.asarray(proj.depths)
     for t in range(0, grid.num_tiles, 97):  # sampled tiles
         seg = keys[starts[t]:starts[t + 1]]
-        real = seg[seg != binning.SENTINEL]
-        assert np.all((real >> s) == t)
-        assert np.all(np.diff(real & ((1 << s) - 1)) >= 0)
+        real = seg != binning.SENTINEL
+        assert np.all((seg[real] >> s) == t)
+        assert np.all(np.diff(seg[real] & ((1 << s) - 1)) >= 0)
+        # semantic front-to-back: TRUE f32 depths non-decreasing per tile
+        # (the reduced-width keys must still order these separated depths)
+        d = depths_np[gidx[starts[t]:starts[t + 1]][real]]
+        assert np.all(np.diff(d) >= 0)
 
-    out_4 = rasterize(means, quats, scales, opac, shs, cam,
-                      config=RasterizeConfig(backend="dense", k_cap=1 << 13,
-                                             tile_h=4, tile_w=4))
+    # pallas backend (interpret mode on CPU): cost scales with the tile
+    # grid, not k_cap * H * W — and crossing BACKENDS as well as tilings
+    # makes the parity check strictly stronger than dense-vs-dense.
+    out_2 = rasterize(means, quats, scales, opac, shs, cam,
+                      config=RasterizeConfig(backend="pallas", k_cap=1 << 14,
+                                             tile_h=2, tile_w=2))
     out_16 = rasterize(means, quats, scales, opac, shs, cam,
-                       config=RasterizeConfig(backend="dense", k_cap=1 << 13))
-    assert np.isfinite(np.asarray(out_4.rgb)).all()
+                       config=RasterizeConfig(backend="dense", k_cap=1 << 12))
+    assert np.isfinite(np.asarray(out_2.rgb)).all()
     # Same compositing result regardless of tiling, up to the CUDA getRect
     # boundary convention (tile_rects matches it): the exclusive bound
     # floor((p + r + T - 1)/T) undercuts ceil((p + r)/T) for fractional
     # extents, so a footprint's LAST partial pixel row/column can fall off
     # its tile rect — a sub-pixel edge effect whose magnitude shrinks with
-    # tile size and is bounded by the splat's rim alpha (~0.02 here).
-    np.testing.assert_allclose(np.asarray(out_4.rgb),
-                               np.asarray(out_16.rgb), atol=0.03)
+    # tile size and is bounded by the splat's rim alpha (~0.03 at 2x2
+    # tiles, where a footprint's rim is a larger fraction of the tile).
+    np.testing.assert_allclose(np.asarray(out_2.rgb),
+                               np.asarray(out_16.rgb), atol=0.04)
 
     # the floor is a clear configured error, not silent corruption
     import pytest
     with pytest.raises(ValueError, match="packed sort-key capacity"):
         _ = binning.TileGrid(16, 16, 2048, 2048).tile_shift
+
+
+def test_cull_compact_matches_posthoc_cull(rng):
+    """Cull-compact binning (round-4 perf rework: small rects' culled cells
+    never consume raw slots) must keep EXACTLY the same instance set as the
+    pure post-hoc cull — same sorted keys and Gaussian order (the kept
+    instances' relative enumeration order is preserved, so the stable sort
+    ties break identically), and bit-identical rendered images + k_pad
+    split parity."""
+    h, w = 48, 96
+    n = 400
+    cam = make_camera(height=h, width=w)
+    # Mix of footprints: most small (rects <= J_CAP cells), some large
+    # anisotropic splats (> J_CAP cells -> the post-hoc branch).
+    means, quats, scales, opac, shs = random_gaussians(
+        rng, n, scale_range=(0.002, 0.2))
+    cov6 = geometry.strip_symmetric(
+        geometry.covariance_from_scaling_rotation(scales, quats))
+    proj = project(means, cov6, opac, shs, cam)
+    grid = binning.TileGrid.for_image(h, w)
+    kw = dict(conics=proj.conics, opacities=proj.opacities)
+    rb_c = binning.bin_raw(proj.means2d, proj.depths, proj.radii_xy, grid,
+                           1 << 14, compact=True, **kw)
+    rb_p = binning.bin_raw(proj.means2d, proj.depths, proj.radii_xy, grid,
+                           1 << 14, compact=False, **kw)
+    nr_c, nr_p = int(rb_c.num_real), int(rb_p.num_real)
+    assert nr_c == nr_p and nr_c > 0
+    # compact assigns fewer raw slots (culled small-rect cells skipped)
+    assert int(rb_c.total) < int(rb_p.total)
+    np.testing.assert_array_equal(np.asarray(rb_c.key_sorted[:nr_c]),
+                                  np.asarray(rb_p.key_sorted[:nr_p]))
+    np.testing.assert_array_equal(np.asarray(rb_c.gidx_sorted[:nr_c]),
+                                  np.asarray(rb_p.gidx_sorted[:nr_p]))
+    # some small-rect culling actually happened (the compact path is live)
+    counts_c = np.diff(np.concatenate([[0], np.asarray(rb_c.cum)]))
+    counts_p = np.diff(np.concatenate([[0], np.asarray(rb_p.cum)]))
+    assert (counts_c < counts_p).any()
+
+    # end-to-end: bit-identical images, including with the k_cap/k_pad
+    # split sized tighter than the padded need on the raw side
+    base = rasterize(means, quats, scales, opac, shs, cam,
+                     config=RasterizeConfig(backend="dense", k_cap=1 << 14))
+    split = rasterize(means, quats, scales, opac, shs, cam,
+                      config=RasterizeConfig(backend="dense", k_cap=1 << 13,
+                                             k_pad=1 << 14))
+    assert int(split.num_dropped) == 0
+    np.testing.assert_array_equal(np.asarray(base.rgb), np.asarray(split.rgb))
+    np.testing.assert_array_equal(np.asarray(base.depth),
+                                  np.asarray(split.depth))
+    # gradients agree through the split path (gather_expand consumes the
+    # k_pad-marked order map + k_cap-sized raw reduce)
+    def loss(m, cfg):
+        out = rasterize(m, quats, scales, opac, shs, cam, config=cfg)
+        return jnp.mean(out.rgb ** 2) + jnp.mean(out.cov_quat ** 2)
+    g1 = jax.grad(loss)(means, RasterizeConfig(backend="dense",
+                                               k_cap=1 << 14))
+    g2 = jax.grad(loss)(means, RasterizeConfig(backend="dense",
+                                               k_cap=1 << 13, k_pad=1 << 14))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-8)

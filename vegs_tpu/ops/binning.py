@@ -114,16 +114,16 @@ class RawBinned(NamedTuple):
 
 
 class Binned(NamedTuple):
-    gidx: jax.Array         # [k_cap] int32: slot -> Gaussian index (n = dummy)
+    gidx: jax.Array         # [k_pad] int32: slot -> Gaussian index (n = dummy)
     tile_starts: jax.Array  # [num_tiles + 1] int32, all multiples of PAD_ALIGN
-    sort_keys: jax.Array    # [k_cap] int32 packed keys (SENTINEL = padding)
+    sort_keys: jax.Array    # [k_pad] int32 packed keys (SENTINEL = padding)
     num_instances: jax.Array  # scalar int32 — real instances kept
-    num_dropped: jax.Array    # scalar int32 — instances lost to k_cap
+    num_dropped: jax.Array    # scalar int32 — instances lost to capacity
     # Gradient-reduction byproducts (consumed by rasterize.gather_expand's
     # custom VJP; computing them here reuses this stage's sorts and saves a
     # ~23 ms searchsorted + ~3 ms sort in the backward precompute):
     order: jax.Array        # [k_cap] int32: raw instance r -> padded slot
-    #                         (k_cap = dropped/nonexistent -> zero row)
+    #                         (k_pad = dropped/nonexistent -> zero row)
     gauss_ends: jax.Array   # [n] int32: exclusive end of each Gaussian's raw
     #                         instance range, clamped to k_cap
 
@@ -175,6 +175,46 @@ def tile_rects(means2d, radii, grid: TileGrid):
 
 DMAX_QUANT = 12.0  # dmax = 2*ln(255*op) <= 2*ln(255) ~ 11.09 for op <= 1
 
+# Cull-compact threshold: Gaussians whose AABB rect has <= J_CAP tile cells
+# get their ellipse-tile cull evaluated BEFORE slot assignment, so culled
+# cells never consume raw-stream slots (measured at the bench workload:
+# rects <= 8 cells hold 86.5% of all cull savings; every downstream stage —
+# slot map, rec gather, sort, segment reduce — is O(k_cap), so the raw
+# capacity shrinks ~13%). Bigger rects keep the post-hoc cull (their culled
+# cells still occupy slots and sort to the sentinel tail, exactly the old
+# behavior). The compact path packs (h-1, small) into the high bits of the
+# rec's cum_excl column, so it is gated on k_cap < 2^23 slots.
+J_CAP = 8
+_CUM_BITS = 23
+_CUM_MASK = (1 << _CUM_BITS) - 1
+
+
+def _cell_qmin(ca, cb, cc, lx, hx, ly, hy):
+    """Minimum Mahalanobis form q = a dx^2 + 2 b dx dy + c dy^2 over the
+    pixel rect [lx, hx] x [ly, hy] (coords relative to the splat mean):
+    0 if the mean is inside, else the min over the 4 clamped edge
+    parabolas. Shared by the pre-assignment count scan and the per-slot
+    cull so both make bit-identical keep decisions."""
+    inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+
+    def q_at(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def edge_x(d):  # dx fixed at d, minimize over dy in [ly, hy]
+        dy = jnp.clip(-cb * d / cc_s, ly, hy)
+        return q_at(d, dy)
+
+    def edge_y(e):  # dy fixed at e, minimize over dx in [lx, hx]
+        dx = jnp.clip(-cb * e / ca_s, lx, hx)
+        return q_at(dx, e)
+
+    qmin = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(hx)),
+        jnp.minimum(edge_y(ly), edge_y(hy)))
+    return jnp.where(inside, 0.0, qmin)
+
 
 def bin_raw(
     means2d: jax.Array,
@@ -185,6 +225,7 @@ def bin_raw(
     conics: jax.Array | None = None,
     opacities: jax.Array | None = None,
     want_rawslot: bool = True,
+    compact: bool | None = None,
 ) -> RawBinned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
     tile, sorted by (tile, quantized depth) — the raw stream, no relayout.
@@ -219,12 +260,53 @@ def bin_raw(
         f"{grid.ntx}x{grid.nty} tile grid exceeds the 2048 per-axis packing "
         "bound; raise tile_h/tile_w")
     do_cull = conics is not None and opacities is not None
+    # Cull-compact gate (see J_CAP): needs do_cull's fields and 9 spare
+    # bits in the rec's cum_excl column. `compact=False` forces the pure
+    # post-hoc cull (tests compare the two paths); None = auto.
+    if compact is None:
+        compact = k_cap < (1 << _CUM_BITS)
+    compact = do_cull and compact and k_cap < (1 << _CUM_BITS)
 
     active = (jnp.min(radii, axis=1) if radii.ndim == 2 else radii) > 0
     x0, y0, x1, y1 = tile_rects(means2d, radii, grid)
     w = x1 - x0 + 1
     h = y1 - y0 + 1
-    counts = jnp.where(active, w * h, 0)
+    wh = w * h
+
+    if do_cull:
+        op_ = opacities.reshape(n)
+        dmax = 2.0 * jnp.log(jnp.maximum(255.0 * op_, 1.0 + 1e-6))
+        # round UP in quantization: the dequantized bound only KEEPS more
+        dmax_q = jnp.minimum(
+            jnp.ceil(dmax * (255.0 / DMAX_QUANT)), 255.0).astype(jnp.int32)
+        ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+    else:
+        dmax_q = jnp.zeros_like(x0)
+        ca = cb = cc = jnp.zeros((n,), jnp.float32)
+
+    if compact:
+        # Pre-assignment survivor count for small rects: scan the <= J_CAP
+        # cells with EXACTLY the per-slot keep predicate (same quantized
+        # dmax, same _cell_qmin float ops), so the per-slot selection scan
+        # below reproduces the counts bit-for-bit.
+        small = active & (wh <= J_CAP)
+        gdmax_n = dmax_q.astype(jnp.float32) * (DMAX_QUANT / 255.0)
+        mx_, my_ = means2d[:, 0], means2d[:, 1]
+        recip_w = 1.0 / w.astype(jnp.float32)
+        cnt = jnp.zeros((n,), jnp.int32)
+        for j in range(J_CAP):
+            # variable-divisor div via exact biased float reciprocal
+            qj = jnp.floor((j + 0.5) * recip_w).astype(jnp.int32)
+            rj = j - qj * w
+            lx = (x0 + rj).astype(jnp.float32) * grid.tile_w - mx_
+            ly = (y0 + qj).astype(jnp.float32) * grid.tile_h - my_
+            qmin_j = _cell_qmin(ca, cb, cc, lx, lx + (grid.tile_w - 1),
+                                ly, ly + (grid.tile_h - 1))
+            cnt += ((j < wh) & (qmin_j <= gdmax_n)).astype(jnp.int32)
+        counts = jnp.where(active, jnp.where(small, cnt, wh), 0)
+    else:
+        small = jnp.zeros((n,), bool)
+        counts = jnp.where(active, wh, 0)
 
     cum = jnp.cumsum(counts)              # inclusive, [n]
     total = cum[-1] if n > 0 else jnp.int32(0)
@@ -260,23 +342,23 @@ def bin_raw(
     # ONE packed row-8 gather for all per-Gaussian fields (8-int rows hit the
     # fast aligned-gather path; separate 1D gathers cost ~8 ms each at 1M).
     # Bit layout (room made for the cull fields): col0 = x0 | y0<<12 |
-    # dmax_q<<24; col1 = cum_excl; col2 = dkey | w<<19 (dkey < 2^19 since
+    # dmax_q<<24; col1 = cum_excl (23 bits under `compact`, full otherwise)
+    # | (h-1)<<23 | small<<26; col2 = dkey | w<<19 (dkey < 2^19 since
     # positive float bits >>12; tile ids and w fit 12/13 bits by the
     # MAX_TILES cap); cols 3..7 = conic a/b/c, mx, my bitcast f32.
+    # (In-play rows always have cum_excl < k_cap < 2^23 when compact —
+    # a slot's run start cannot exceed the slot index — so the packing is
+    # lossless where it is ever read.)
     bc = lambda v: jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
-    if do_cull:
-        op_ = opacities.reshape(n)
-        dmax = 2.0 * jnp.log(jnp.maximum(255.0 * op_, 1.0 + 1e-6))
-        # round UP in quantization: the dequantized bound only KEEPS more
-        dmax_q = jnp.minimum(
-            jnp.ceil(dmax * (255.0 / DMAX_QUANT)), 255.0).astype(jnp.int32)
-        ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+    if compact:
+        col1 = ((cum_excl & _CUM_MASK)
+                | (((h - 1) & 7) << _CUM_BITS)
+                | (small.astype(jnp.int32) << (_CUM_BITS + 3)))
     else:
-        dmax_q = jnp.zeros_like(x0)
-        ca = cb = cc = jnp.zeros((n,), jnp.float32)
+        col1 = cum_excl
     rec = jnp.stack(
         [x0 | (y0 << 12) | (dmax_q << 24),
-         cum_excl,
+         col1,
          depth_key(depths, tile_shift) | (w << tile_shift),
          bc(ca), bc(cb), bc(cc),
          bc(means2d[:, 0]), bc(means2d[:, 1])],
@@ -286,7 +368,15 @@ def bin_raw(
     mask12 = (1 << 12) - 1
     gx0 = rec_g[:, 0] & mask12
     gy0 = jax.lax.shift_right_logical(rec_g[:, 0], 12) & mask12
-    goff = rec_g[:, 1]
+    if compact:
+        goff = rec_g[:, 1] & _CUM_MASK
+        gh = (jax.lax.shift_right_logical(rec_g[:, 1], _CUM_BITS) & 7) + 1
+        gsmall = jax.lax.shift_right_logical(
+            rec_g[:, 1], _CUM_BITS + 3) > 0
+    else:
+        goff = rec_g[:, 1]
+        gh = None
+        gsmall = None
     gdkey = rec_g[:, 2] & ((1 << tile_shift) - 1)
     gw_ = jax.lax.shift_right_logical(rec_g[:, 2], tile_shift)
 
@@ -297,11 +387,11 @@ def bin_raw(
     # TPU VPU (~80 ms at 1M elements). li < w*h fits float32 exactly, so a
     # biased float reciprocal is exact here: (li + 0.5)/gw can never sit on
     # an integer boundary for gw < 2^11, making the floor decision safe.
-    q = jnp.floor((li.astype(jnp.float32) + 0.5)
-                  * (1.0 / gw.astype(jnp.float32))).astype(jnp.int32)
-    tx = gx0 + (li - q * gw)
-    ty = gy0 + q
-    tile_id = ty * grid.ntx + tx
+    recip_gw = 1.0 / gw.astype(jnp.float32)
+    q = jnp.floor((li.astype(jnp.float32) + 0.5) * recip_gw
+                  ).astype(jnp.int32)
+    r_big = li - q * gw
+    q_big = q
 
     keep = in_range
     if do_cull:
@@ -310,31 +400,48 @@ def bin_raw(
         gmx, gmy = fbc(rec_g[:, 6]), fbc(rec_g[:, 7])
         gdmax = (jax.lax.shift_right_logical(rec_g[:, 0], 24) & 255
                  ).astype(jnp.float32) * (DMAX_QUANT / 255.0)
-        # Pixel rect of the tile (integer pixel coords, blend_ref spec).
+
+    if compact:
+        # Small rects: slot li holds the li-th SURVIVING cell — rerun the
+        # count scan's predicate over the <= J_CAP cells and select where
+        # the running survivor count equals li.
+        gwh = gw * gh
+        c = jnp.zeros_like(li)
+        sel_r = jnp.zeros_like(li)
+        sel_q = jnp.zeros_like(li)
+        for j in range(J_CAP):
+            qj = jnp.floor((j + 0.5) * recip_gw).astype(jnp.int32)
+            rj = j - qj * gw
+            lx_j = (gx0 + rj).astype(jnp.float32) * grid.tile_w - gmx
+            ly_j = (gy0 + qj).astype(jnp.float32) * grid.tile_h - gmy
+            qmin_j = _cell_qmin(ga, gb, gc, lx_j, lx_j + (grid.tile_w - 1),
+                                ly_j, ly_j + (grid.tile_h - 1))
+            keep_j = (j < gwh) & (qmin_j <= gdmax)
+            hit = keep_j & (c == li)
+            sel_r = jnp.where(hit, rj, sel_r)
+            sel_q = jnp.where(hit, qj, sel_q)
+            c += (gsmall & keep_j).astype(jnp.int32)
+        tx = gx0 + jnp.where(gsmall, sel_r, r_big)
+        ty = gy0 + jnp.where(gsmall, sel_q, q_big)
+        # li beyond the survivor count would select cell 0 spuriously —
+        # cannot happen for in-range slots (runs are sized by the same
+        # scan), but guard against it explicitly.
+        keep = keep & (~gsmall | (li < c))
+    else:
+        tx = gx0 + r_big
+        ty = gy0 + q_big
+    tile_id = ty * grid.ntx + tx
+
+    if do_cull:
+        # Post-hoc exact ellipse-tile cull at the selected cell (for small
+        # rects this re-verifies the scan's selected survivor — always
+        # true; for big rects it is the production cull, whose rejected
+        # cells become SENTINEL keys and sort to the tail).
         lx = tx.astype(jnp.float32) * grid.tile_w - gmx
-        hx = lx + (grid.tile_w - 1)
         ly = ty.astype(jnp.float32) * grid.tile_h - gmy
-        hy = ly + (grid.tile_h - 1)
-        inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
-        ga_s = jnp.maximum(ga, 1e-12)
-        gc_s = jnp.maximum(gc, 1e-12)
-
-        def q_at(dx, dy):
-            return ga * dx * dx + 2.0 * gb * dx * dy + gc * dy * dy
-
-        def edge_x(d):  # dx fixed at d, minimize over dy in [ly, hy]
-            dy = jnp.clip(-gb * d / gc_s, ly, hy)
-            return q_at(d, dy)
-
-        def edge_y(e):  # dy fixed at e, minimize over dx in [lx, hx]
-            dx = jnp.clip(-gb * e / ga_s, lx, hx)
-            return q_at(dx, e)
-
-        qmin = jnp.minimum(
-            jnp.minimum(edge_x(lx), edge_x(hx)),
-            jnp.minimum(edge_y(ly), edge_y(hy)))
-        qmin = jnp.where(inside, 0.0, qmin)
-        keep = in_range & (qmin <= gdmax)
+        qmin = _cell_qmin(ga, gb, gc, lx, lx + (grid.tile_w - 1),
+                          ly, ly + (grid.tile_h - 1))
+        keep = keep & (qmin <= gdmax)
 
     key = jnp.where(keep, jax.lax.shift_left(tile_id, tile_shift) | gdkey,
                     SENTINEL)
@@ -449,6 +556,7 @@ def bin_gaussians(
     opacities: jax.Array | None = None,
     want_keys: bool = True,
     want_grad_maps: bool = True,
+    k_pad: int = 0,
 ) -> Binned:
     """Expand each active Gaussian into one instance per covered tile,
     sorted by (tile, quantized depth), in the chunk-aligned padded layout
@@ -458,14 +566,27 @@ def bin_gaussians(
     `want_keys=False` skips the padded sort-key output (only the dense
     golden blend consumes it); `want_grad_maps=False` skips the raw->padded
     `order` map and its extra sort operand + permutation sort (~5 ms at 2M)
-    for forward-only renders that never run gather_expand's backward."""
+    for forward-only renders that never run gather_expand's backward.
+
+    `k_pad` (default 0 = k_cap) sizes the PADDED layout (gidx/sort_keys/
+    tile_starts — what gather_expand and the blend consume) independently of
+    the raw-stream capacity `k_cap` (slot map, sort, order, segment reduce).
+    The two needs differ: the raw stream must hold every assigned slot
+    (post-cull totals under the compact path), the padded layout holds the
+    kept instances PLUS per-tile PAD_ALIGN rounding — at the bench workload
+    padding exceeds the residual cull slack, so k_pad > k_cap buys the raw
+    stages a ~15% smaller working set (mirrors tile_sharded's existing
+    k_loc/k_blend split)."""
     n = means2d.shape[0]
     num_tiles = grid.num_tiles
+    if k_pad <= 0:
+        k_pad = k_cap
+    assert k_pad % PAD_ALIGN == 0
     rb = bin_raw(means2d, depths, radii, grid, k_cap,
                  conics=conics, opacities=opacities,
                  want_rawslot=want_grad_maps)
     gidx_padded, keys_padded, padded_starts, num_kept = pad_relayout(
-        rb.key_sorted, rb.gidx_sorted, rb.raw_starts, num_tiles, k_cap,
+        rb.key_sorted, rb.gidx_sorted, rb.raw_starts, num_tiles, k_pad,
         dummy=n, want_keys=want_keys)
     # capacity losses only: AABB cells removed by the cull are not "dropped"
     num_dropped = rb.total - (rb.num_raw - rb.num_real) - num_kept
@@ -495,7 +616,7 @@ def bin_gaussians(
         shift_deltas, mode="drop")
     dest = slot + _blocked_cumsum_1d(zs)                  # [k_cap] per sorted pos
     landed = (slot < rb.num_real) & (dest < padded_starts[num_tiles])
-    dest = jnp.where(landed, dest, k_cap)
+    dest = jnp.where(landed, dest, k_pad)  # k_pad == "dropped" marker
     # rawslot_sorted is a full permutation of [0, k_cap): sorting by it
     # scatters each sorted position's destination back to its raw slot.
     _, order = jax.lax.sort((rb.rawslot_sorted, dest), num_keys=1)

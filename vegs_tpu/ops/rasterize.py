@@ -39,7 +39,7 @@ AUX_COLS = 16  # r, g, b, qw, qx, qy, qz, sx, sy, sz, (pad x6)
 class RasterizeConfig(NamedTuple):
     tile_h: int = 16
     tile_w: int = 16
-    k_cap: int = 1 << 22       # instance capacity (tile-expanded)
+    k_cap: int = 1 << 22       # raw instance capacity (tile-expanded)
     backend: str = "auto"      # 'dense' | 'pallas' | 'auto'
     clamp_radius: int = 0      # 0 = unbounded footprint
     payload_dtype: str = "bf16"  # 'bf16' | 'f32' — rgb/quat/scale payload
@@ -48,6 +48,11 @@ class RasterizeConfig(NamedTuple):
     #                             (inference paths: video/eval). Gradients
     #                             still flow but via XLA's slow scatter-add
     #                             transpose — don't train with this set.
+    k_pad: int = 0             # padded-layout capacity (0 = k_cap); the
+    #                            padded need (kept + per-tile PAD_ALIGN
+    #                            rounding) can exceed the post-cull raw
+    #                            need — splitting lets sort/segreduce run
+    #                            at the smaller size (binning.bin_gaussians)
 
 
 def _blocked_cumsum(x: jax.Array, block: int = 512) -> jax.Array:
@@ -166,21 +171,22 @@ def _ge_bwd(res, cots):
     order, ends = res
     d_pf, d_pa = cots
     aux_dtype = d_pa.dtype
-    k = d_pf.shape[0]
+    k = d_pf.shape[0]        # padded rows (k_pad): where cotangents live
+    kr = order.shape[0]      # raw rows (k_cap): the reduce's working set
     n1 = ends.shape[0]
     from . import segreduce
 
-    if (aux_dtype == jnp.bfloat16 and k >= segreduce.RC and k % 128 == 0
+    if (aux_dtype == jnp.bfloat16 and kr >= segreduce.RC and kr % 128 == 0
             and jax.default_backend() == "tpu"):
         # Production TPU path (round-3 rework, r05_segreduce2.py: 11.2 ms vs
         # 25.1 for the XLA path at the bench shape): ONE fused 64-byte-row
-        # gather of both cotangent halves packed as [K, 16] int32, then the
-        # Pallas streaming segment-reduce (membership-matmul) instead of
-        # cumsum + boundary gather + diff.
+        # gather of both cotangent halves packed as [k_pad, 16] int32 into
+        # RAW order ([kr, 16]), then the Pallas streaming segment-reduce
+        # (membership-matmul) instead of cumsum + boundary gather + diff.
         packed = jnp.concatenate(
             [jax.lax.bitcast_convert_type(d_pf, jnp.int32),
              jax.lax.bitcast_convert_type(d_pa.reshape(k, 8, 2), jnp.int32)],
-            axis=1)                                          # [K, 16] int32
+            axis=1)                                          # [k_pad, 16]
         dead = (order >= k)[:, None]
         g = jnp.where(dead, 0, packed[jnp.where(dead[:, 0], 0, order)])
         ng = -(-n1 // segreduce.GB) * segreduce.GB
@@ -188,15 +194,15 @@ def _ge_bwd(res, cots):
             [ends, jnp.broadcast_to(ends[-1:], (ng - n1,))])
         starts_p = jnp.concatenate([jnp.zeros(1, jnp.int32), ends_p[:-1]])
         out = segreduce.segment_reduce_cols(
-            _unpack_to_cm(g, k), starts_p, ends_p)           # [24, NG]
+            _unpack_to_cm(g, kr), starts_p, ends_p)          # [24, NG]
         return (out[:F32_COLS, :n1].T,
                 out[F32_COLS:, :n1].T.astype(aux_dtype),
                 None, None, None)
 
     # XLA fallback (f32 payload / golden paths, CPU meshes, tiny k_cap).
-    # order == K marks dropped / nonexistent raw instances: clamp the index
-    # and mask the row to zero after the gather (padding the tables with
-    # zero rows instead costs two full-table copies, ~3 ms at 2M).
+    # order == k_pad marks dropped / nonexistent raw instances: clamp the
+    # index and mask the row to zero after the gather (padding the tables
+    # with zero rows instead costs two full-table copies, ~3 ms at 2M).
     dead = (order >= k)[:, None]
     order_c = jnp.where(dead[:, 0], 0, order)
     g_f = jnp.where(dead, 0.0, d_pf[order_c])                # [K, 8] f32
@@ -308,6 +314,7 @@ def rasterize(
         opacities=jax.lax.stop_gradient(proj.opacities),
         want_keys=(backend == "dense"),
         want_grad_maps=not config.forward_only,
+        k_pad=config.k_pad,
     )
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
     # chunk-aligned layout points them at gidx == n). Row gathers hit the
