@@ -577,19 +577,23 @@ def test_tp_full_model_step_matches_single_device(rng):
 
     np.testing.assert_allclose(float(met["loss"]), float(bmet["loss"]),
                                rtol=1e-5)
+    flip_bound = {"means": 2e-3, "quats": 2.2e-3, "log_scales": 2.2e-3,
+                  "sh_dc": 5.5e-3, "opacity_logit": 0.11}
     for name in ("means", "quats", "log_scales", "sh_dc", "opacity_logit"):
         np.testing.assert_allclose(
             np.asarray(getattr(nf, name)), np.asarray(getattr(st2.field, name)),
             rtol=2e-4, atol=1e-5, err_msg=f"static.{name}")
         # Entries with ~0 true gradient take an lr*sign(noise) first Adam
-        # step whose sign f32 reassociation can flip (diff = 2*lr): require
-        # >=95% of entries tight and bound ALL by one flipped Adam step.
+        # step whose sign f32 reassociation can flip (diff up to 2*lr of
+        # that leaf's param group): require >=95% of entries tight and
+        # bound ALL by one flipped Adam step.
         a = np.asarray(getattr(nbf, name))
         b = np.asarray(getattr(bs2.fields, name))
         diff = np.abs(a - b)
         tight = diff <= 1e-5 + 2e-4 * np.abs(b)
         assert tight.mean() >= 0.95, f"box.{name}: {tight.mean():.3f} tight"
-        assert diff.max() <= 2.2e-3, f"box.{name}: max diff {diff.max()}"
+        assert diff.max() <= flip_bound[name], (
+            f"box.{name}: max diff {diff.max()}")
     for k in ("delta_r", "delta_s", "delta_t"):
         np.testing.assert_allclose(
             np.asarray(getattr(ndl, k)), np.asarray(getattr(dl2, k)),
@@ -763,7 +767,7 @@ def test_tp_full_step_with_guidance_matches_single_device(rng):
         diff = np.abs(a - b)
         tight = diff <= 1e-5 + 2e-4 * np.abs(b)
         assert tight.mean() >= 0.95, f"static.{name}: {tight.mean():.3f}"
-        assert diff.max() <= 2.2e-3, f"static.{name}: max {diff.max()}"
+        assert diff.max() <= 5.2e-3, f"static.{name}: max {diff.max()}"
     assert nf.means.sharding.spec[0] == "shard"
 
 
