@@ -233,3 +233,64 @@ def test_adapt_k_cap_grows_and_decays():
     for _ in range(Trainer.K_CAP_DECAY_WINDOW + 1):
         tr._adapt_k_cap(num_dropped=0.0, num_needed=100.0)
     assert tr.raster_cfg.k_cap == Trainer.K_CAP_MIN
+
+
+def test_box_deltas_unfreeze_from_identity(rng):
+    """Regression (round-4): at the EXACT identity init, jnp.linalg.norm's
+    NaN gradient in the delta regularizer used to poison the whole delta
+    gradient through the NaN guard, freezing the deltas at identity for the
+    entire run (QUALITY_FULL_r03's box-err never moved). With
+    boxmodel.safe_norm, the first step from identity must already move
+    delta_t toward the photometric signal."""
+    from vegs_tpu.boxmodel import BoxDeltas, safe_norm
+    from vegs_tpu.ops.rasterize import RasterizeConfig
+    from vegs_tpu.train import BoxSlotState, TrainState, make_train_step
+
+    # safe_norm: finite zero-gradient at 0, exact elsewhere
+    g0 = jax.grad(lambda x: safe_norm(x))(jnp.zeros(3))
+    assert np.isfinite(np.asarray(g0)).all() and float(jnp.sum(g0 ** 2)) == 0
+    gx = jax.grad(lambda x: safe_norm(x))(jnp.array([0.3, 0.0, 0.4]))
+    np.testing.assert_allclose(np.asarray(gx), [0.6, 0.0, 0.8], rtol=1e-6)
+
+    h, w = 32, 64
+    prng = np.random.default_rng(5)
+    field = gaussians.create_from_points(
+        prng.normal(size=(64, 3)).astype(np.float32) * 2.0,
+        prng.uniform(0, 1, (64, 3)).astype(np.float32), capacity=128)
+    bpts = prng.uniform(-0.45, 0.45, (40, 3)).astype(np.float32)
+    bcols = prng.uniform(0.5, 1.0, (40, 3)).astype(np.float32)
+    bfield = gaussians.create_from_points(bpts, bcols, capacity=64)
+    bfields = jax.tree.map(lambda x: x[None], bfield)
+    box_state = BoxSlotState(
+        fields=bfields,
+        opt=jax.tree.map(lambda x: x[None], optim.adam_init(bfield)),
+        stats=jax.tree.map(lambda x: x[None], densify.DensifyStats.zeros(64))
+        if hasattr(densify, "DensifyStats") else
+        jax.tree.map(lambda x: x[None], gaussians.DensifyStats.zeros(64)))
+    from utils import make_camera
+    cam = make_camera(height=h, width=w, t=np.array([0, 0, 4.0]))
+    b2w = jnp.eye(4)[None].at[0, 2, 3].set(2.5)
+    deltas = jax.tree.map(lambda x: x[None], BoxDeltas.identity())
+    delta_opt = optim.tensor_adam_init(dict(
+        delta_r=deltas.delta_r, delta_s=deltas.delta_s,
+        delta_t=deltas.delta_t))
+
+    raster = RasterizeConfig(backend="dense", k_cap=1 << 12)
+    step = make_train_step(OptimizationParams(), raster, spatial_scale=4.0,
+                           n_box_slots=1, use_normal_loss=False,
+                           box_lr_mult=1.0, boxmodel_lr=5e-3,
+                           boxmodel_lambda_reg=1e-3)
+    st = TrainState(field=field, opt=optim.adam_init(field),
+                    stats=gaussians.DensifyStats.zeros(field.capacity),
+                    step=jnp.int32(0))
+    gt = jnp.zeros((3, h, w))  # any photometric mismatch will do
+    st2, bs2, dl2, do2, met = step(
+        st, box_state, jax.tree.map(jnp.asarray, deltas), delta_opt, b2w,
+        jnp.ones((1,), bool), cam, gt, jnp.zeros((3, h, w)),
+        jnp.float32(0.0), jnp.int32(3), jnp.zeros(3))
+    assert np.isfinite(float(met["loss"]))
+    dt = np.asarray(dl2.delta_t)
+    dr = np.asarray(dl2.delta_r)
+    assert np.isfinite(dt).all() and np.isfinite(dr).all()
+    # THE regression: deltas must have moved off exact identity in step 1
+    assert np.abs(dt).max() > 0, "delta_t frozen at identity"

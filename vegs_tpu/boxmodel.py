@@ -56,14 +56,30 @@ def adjust_box2world(box2world: jax.Array, deltas: BoxDeltas) -> jax.Array:
     return box2world @ d_box2world(deltas)
 
 
+def safe_norm(x: jax.Array, axis=-1, eps: float = 1e-12) -> jax.Array:
+    """L2 norm with a finite (zero) gradient at ||x|| == 0.
+
+    jnp.linalg.norm's gradient at exactly zero is NaN (0/0). The deltas
+    START at exact identity, so a combined photometric+regularizer loss
+    hits that point on the very first step — and the reference-parity NaN
+    guard (train.py:198-205) then zeroes the WHOLE delta gradient, freezing
+    the deltas at identity forever. (The reference never evaluates its
+    regularizer at identity: it steps the box optimizer on the photometric
+    gradient FIRST and only then runs the separate regularize() backward,
+    /root/reference/train.py:274-278 — a one-step ordering quirk our
+    single-dispatch step must reproduce via a subgradient instead.)"""
+    ss = jnp.sum(x * x, axis=axis)
+    return jnp.sqrt(jnp.maximum(ss, eps * eps))
+
+
 def regularize_loss(deltas: BoxDeltas) -> jax.Array:
     """L2 pull of residuals toward identity (reference boxmodel.py:44-49);
     summed over any batch dims."""
     e = jnp.zeros_like(deltas.delta_r).at[..., 0].set(1.0)
     return (
-        jnp.sum(jnp.linalg.norm(deltas.delta_r - e, axis=-1))
-        + jnp.sum(jnp.linalg.norm(deltas.delta_s - 1.0, axis=-1))
-        + jnp.sum(jnp.linalg.norm(deltas.delta_t, axis=-1))
+        jnp.sum(safe_norm(deltas.delta_r - e))
+        + jnp.sum(safe_norm(deltas.delta_s - 1.0))
+        + jnp.sum(safe_norm(deltas.delta_t))
     )
 
 

@@ -411,11 +411,14 @@ def make_tp_full_train_step(
             nloss = loss_normal_guidance(
                 out[4:8, :H, :W], out[8:11, :H, :W], normal)
             loss = loss + lam_dnormal * nloss * normal_valid
+        from ..boxmodel import safe_norm
+
+        # safe_norm, NOT jnp.linalg.norm: NaN gradient at the identity
+        # init would freeze the deltas via the NaN guard (boxmodel.py).
         reg_each = (
-            jnp.linalg.norm(
-                deltas.delta_r - jnp.array([1.0, 0, 0, 0]), axis=-1)
-            + jnp.linalg.norm(deltas.delta_s - 1.0, axis=-1)
-            + jnp.linalg.norm(deltas.delta_t, axis=-1))
+            safe_norm(deltas.delta_r - jnp.array([1.0, 0, 0, 0]))
+            + safe_norm(deltas.delta_s - 1.0)
+            + safe_norm(deltas.delta_t))
         reg = jnp.sum(reg_each * active.astype(jnp.float32))
         loss = loss + boxmodel_lambda_reg * reg
         g_loss = jnp.float32(0.0)

@@ -188,12 +188,16 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
             loss = loss + lam_dnormal * nloss * normal_valid
         reg = jnp.float32(0.0)
         if n_box_slots:
+            from .boxmodel import safe_norm
+
             deltas = BoxDeltas(**delta_params)
+            # safe_norm, NOT jnp.linalg.norm: at the identity init the norm
+            # gradient is NaN and the reference-parity NaN guard below
+            # would freeze the deltas forever (boxmodel.safe_norm).
             reg_each = (
-                jnp.linalg.norm(
-                    deltas.delta_r - jnp.array([1.0, 0, 0, 0]), axis=-1)
-                + jnp.linalg.norm(deltas.delta_s - 1.0, axis=-1)
-                + jnp.linalg.norm(deltas.delta_t, axis=-1)
+                safe_norm(deltas.delta_r - jnp.array([1.0, 0, 0, 0]))
+                + safe_norm(deltas.delta_s - 1.0)
+                + safe_norm(deltas.delta_t)
             )
             reg = jnp.sum(reg_each * active.astype(jnp.float32))
             loss = loss + boxmodel_lambda_reg * reg
