@@ -58,12 +58,17 @@ class _Box:
         self.box2world = m
 
 
-def build_scene_info(rng):
+def build_scene_info(rng, h=None, w=None, n_cams=None, noise_t=None):
     from vegs_tpu.scene import dataset_readers as dr
     from vegs_tpu.utils import synthetic as syn
 
+    h = H if h is None else h
+    w = W if w is None else w
+    n_cams = N_CAMS if n_cams is None else n_cams
+    noise_t = BOX_NOISE_T if noise_t is None else noise_t
+
     infos = syn.street_camera_infos(
-        N_CAMS, H, W, moving_box=True, render_normal=True)
+        n_cams, h, w, moving_box=True, render_normal=True)
     train_infos = [c for i, c in enumerate(infos) if i % 8 != 0]
     test_infos = [c for i, c in enumerate(infos) if i % 8 == 0]
 
@@ -76,11 +81,11 @@ def build_scene_info(rng):
     canon, ccols = syn.mover_canonical_points(rng, n=420)
     true_b2w, noisy_b2w = {}, {}
     dyn_pts, dyn_cols, dyn_ts = [], [], []
-    for f in range(N_CAMS):
-        m = syn.mover_box2world(f, N_CAMS)
+    for f in range(n_cams):
+        m = syn.mover_box2world(f, n_cams)
         true_b2w[f] = m
         noise = np.eye(4, dtype=np.float32)
-        noise[:3, 3] = rng.normal(0, BOX_NOISE_T, 3).astype(np.float32)
+        noise[:3, 3] = rng.normal(0, noise_t, 3).astype(np.float32)
         noisy_b2w[f] = noise @ m
         w = (np.concatenate([canon, np.ones((len(canon), 1), np.float32)], 1)
              @ m.T)[:, :3]
@@ -99,9 +104,9 @@ def build_scene_info(rng):
         nerf_normalization=dr.getNerfppNorm(infos, pcd), ply_path="",
         dyn_point_cloud=dyn,
         train_bboxes={f: {syn.MOVER_INSTANCE: _Box(noisy_b2w[f])}
-                      for f in range(N_CAMS) if f in train_frames},
+                      for f in range(n_cams) if f in train_frames},
         test_bboxes={f: {syn.MOVER_INSTANCE: _Box(noisy_b2w[f])}
-                     for f in range(N_CAMS) if f not in train_frames},
+                     for f in range(n_cams) if f not in train_frames},
         instances_info=[syn.MOVER_INSTANCE])
     return info, true_b2w, noisy_b2w
 

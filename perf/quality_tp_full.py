@@ -1,6 +1,7 @@
-"""FULL-MODEL quality evidence for the FULLY SHARDED trainer (round-2
-verdict item 5: boxes in the loop, >=500 iterations, TP tracking the
-single-device PSNR within ~0.5 dB at equal iteration count).
+"""FULL-MODEL quality evidence for the FULLY SHARDED trainer (round-3
+verdict item 6: boxes in the loop, >=500 iterations WITH shard-local
+densify/recompaction between windows, TP tracking the single-device PSNR
+within ~0.5 dB at equal iteration count).
 
 Trains the ray-traced street oracle WITH its moving vehicle through
 `make_tp_full_train_step`: static field + the box slot's canonical field +
@@ -50,8 +51,11 @@ ITERS = int(os.environ.get("VEGS_TPF_ITERS", "500"))
 EVAL_EVERY = int(os.environ.get("VEGS_TPF_EVAL_EVERY", "50"))
 NDEV = int(os.environ.get("VEGS_TPF_NDEV", "4"))
 BOX_NOISE_T = 0.06
+DENSIFY_FROM = int(os.environ.get("VEGS_TPF_DENSIFY_FROM", "100"))
+DENSIFY_UNTIL = int(os.environ.get("VEGS_TPF_DENSIFY_UNTIL", "400"))
+DENSIFY_EVERY = int(os.environ.get("VEGS_TPF_DENSIFY_EVERY", "100"))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "QUALITY_TP_r03.md")
+                   "QUALITY_TP_r04.md")
 
 
 def build_scene(rng):
@@ -109,7 +113,7 @@ def make_eval(test_cams, noisy_b2w, eval_raster):
 def write_md(single_trend, tp_trend, wall_single, wall_tp, err_rows):
     by_it = {it: p for it, p in single_trend}
     lines = [
-        "# QUALITY_TP_r03 — FULL-MODEL fully sharded trainer quality",
+        "# QUALITY_TP_r04 — FULL-MODEL fully sharded trainer quality",
         "",
         "Ray-traced street oracle WITH its moving vehicle box, trained",
         "through `make_tp_full_train_step` (vegs_tpu/parallel/tp_trainer.py):",
@@ -120,8 +124,10 @@ def write_md(single_trend, tp_trend, wall_single, wall_tp, err_rows):
         "sequence also runs through the production single-device",
         f"`make_train_step` for comparison. {H}x{W}, {N_CAMS} cameras, idx%8",
         f"split, normal-guidance on (GT normal maps), {BOX_NOISE_T} m box",
-        "annotation noise, fixed capacity (the shard-local densify path is",
-        "separately evidenced in QUALITY_TP_r02.md / test_parallel.py).",
+        f"annotation noise, SHARD-LOCAL densify/recompaction in the loop",
+        f"(tp_densify_and_prune every {DENSIFY_EVERY} in",
+        f"[{DENSIFY_FROM}, {DENSIFY_UNTIL}]; the single-device run densifies",
+        "identically via densify_and_prune, so capacities evolve in both).",
         "",
         "| iteration | single-device PSNR (dB) | TP (sharded) PSNR (dB) |"
         " diff (dB) |",
@@ -148,14 +154,15 @@ def write_md(single_trend, tp_trend, wall_single, wall_tp, err_rows):
 
 
 def main():
-    from vegs_tpu import optim
+    from vegs_tpu import densify, optim
     from vegs_tpu.boxmodel import BoxDeltas, adjust_box2world
     from vegs_tpu.config import OptimizationParams
     from vegs_tpu.gaussians import DensifyStats
     from vegs_tpu.ops.rasterize import RasterizeConfig
     from vegs_tpu.parallel.tile_sharded import make_tile_mesh
     from vegs_tpu.parallel.tp_trainer import (make_tp_full_train_step,
-                                              shard_train_state)
+                                              shard_train_state,
+                                              tp_densify_and_prune)
     from vegs_tpu.train import BoxSlotState, TrainState, make_train_step
 
     rng = np.random.default_rng(5)
@@ -166,6 +173,7 @@ def main():
           f"{len(train_cams)}/{len(test_cams)} train/test cams", flush=True)
 
     opt_cfg = OptimizationParams()
+    opt_cfg.densify_grad_threshold = 0.0004   # toy-scale NDC grads
     raster = RasterizeConfig(backend="dense", k_cap=8192)
     eval_raster = RasterizeConfig(backend="dense", k_cap=1 << 14)
     spatial = 6.0
@@ -228,6 +236,14 @@ def main():
             st, bs, deltas, dopt, b2w, active, cam.device_params(), gt,
             normal, jnp.float32(1.0), jnp.int32(3), jnp.zeros(3))
         dmap_s[f] = (deltas, dopt)
+        if DENSIFY_FROM <= it <= DENSIFY_UNTIL and it % DENSIFY_EVERY == 0:
+            f2, o2, s2, n = densify.densify_and_prune(
+                st.field, st.opt, st.stats, jax.random.key(100 + it),
+                grad_threshold=opt_cfg.densify_grad_threshold,
+                percent_dense=opt_cfg.percent_dense, extent=spatial)
+            st = TrainState(field=f2, opt=o2, stats=s2, step=st.step)
+            print(f"[single] densify at {it}: n={n} cap={f2.capacity}",
+                  flush=True)
         if it % EVAL_EVERY == 0:
             bf0 = jax.tree.map(lambda x: x[0], bs.fields)
             dm = {k: (jax.tree.map(lambda x: x[0], v[0]),) for k, v in
@@ -269,6 +285,13 @@ def main():
             cam.device_params(), gt, normal, jnp.float32(1.0), jnp.int32(3),
             jnp.zeros(3))
         dmap_t[f] = (deltas, dopt)
+        if DENSIFY_FROM <= it <= DENSIFY_UNTIL and it % DENSIFY_EVERY == 0:
+            sf, so, ss, n = tp_densify_and_prune(
+                mesh, sf, so, ss, jax.random.key(100 + it),
+                grad_threshold=opt_cfg.densify_grad_threshold,
+                percent_dense=opt_cfg.percent_dense, extent=spatial)
+            print(f"[tp] shard-local densify at {it}: n={n} "
+                  f"cap={sf.capacity}", flush=True)
         if it <= 2 or it % EVAL_EVERY == 0:
             fh = jax.device_get(sf)
             bfh = jax.tree.map(lambda x: np.asarray(x)[0],
