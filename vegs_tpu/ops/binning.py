@@ -189,25 +189,32 @@ _CUM_BITS = 23
 _CUM_MASK = (1 << _CUM_BITS) - 1
 
 
-def _cell_qmin(ca, cb, cc, lx, hx, ly, hy):
+def _conic_invs(ca, cc):
+    """Reciprocals of the (clamped) conic diagonal, hoisted OUT of the
+    per-cell scans: VPU division is many times a multiply, and the J_CAP
+    scans would otherwise issue 4 divides per cell per slot (measured as a
+    net bench REGRESSION at 2.23M before hoisting)."""
+    return (1.0 / jnp.maximum(ca, 1e-12), 1.0 / jnp.maximum(cc, 1e-12))
+
+
+def _cell_qmin(ca, cb, cc, lx, hx, ly, hy, inv_a, inv_c):
     """Minimum Mahalanobis form q = a dx^2 + 2 b dx dy + c dy^2 over the
     pixel rect [lx, hx] x [ly, hy] (coords relative to the splat mean):
     0 if the mean is inside, else the min over the 4 clamped edge
     parabolas. Shared by the pre-assignment count scan and the per-slot
-    cull so both make bit-identical keep decisions."""
+    cull so both make bit-identical keep decisions. `inv_a`/`inv_c` come
+    from `_conic_invs` (division-free inner body)."""
     inside = (lx <= 0) & (hx >= 0) & (ly <= 0) & (hy >= 0)
-    ca_s = jnp.maximum(ca, 1e-12)
-    cc_s = jnp.maximum(cc, 1e-12)
 
     def q_at(dx, dy):
         return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
 
     def edge_x(d):  # dx fixed at d, minimize over dy in [ly, hy]
-        dy = jnp.clip(-cb * d / cc_s, ly, hy)
+        dy = jnp.clip(-cb * d * inv_c, ly, hy)
         return q_at(d, dy)
 
     def edge_y(e):  # dy fixed at e, minimize over dx in [lx, hx]
-        dx = jnp.clip(-cb * e / ca_s, lx, hx)
+        dx = jnp.clip(-cb * e * inv_a, lx, hx)
         return q_at(dx, e)
 
     qmin = jnp.minimum(
@@ -293,6 +300,7 @@ def bin_raw(
         gdmax_n = dmax_q.astype(jnp.float32) * (DMAX_QUANT / 255.0)
         mx_, my_ = means2d[:, 0], means2d[:, 1]
         recip_w = 1.0 / w.astype(jnp.float32)
+        inv_a_n, inv_c_n = _conic_invs(ca, cc)
         cnt = jnp.zeros((n,), jnp.int32)
         for j in range(J_CAP):
             # variable-divisor div via exact biased float reciprocal
@@ -301,7 +309,7 @@ def bin_raw(
             lx = (x0 + rj).astype(jnp.float32) * grid.tile_w - mx_
             ly = (y0 + qj).astype(jnp.float32) * grid.tile_h - my_
             qmin_j = _cell_qmin(ca, cb, cc, lx, lx + (grid.tile_w - 1),
-                                ly, ly + (grid.tile_h - 1))
+                                ly, ly + (grid.tile_h - 1), inv_a_n, inv_c_n)
             cnt += ((j < wh) & (qmin_j <= gdmax_n)).astype(jnp.int32)
         counts = jnp.where(active, jnp.where(small, cnt, wh), 0)
     else:
@@ -400,6 +408,7 @@ def bin_raw(
         gmx, gmy = fbc(rec_g[:, 6]), fbc(rec_g[:, 7])
         gdmax = (jax.lax.shift_right_logical(rec_g[:, 0], 24) & 255
                  ).astype(jnp.float32) * (DMAX_QUANT / 255.0)
+        inv_ga, inv_gc = _conic_invs(ga, gc)
 
     if compact:
         # Small rects: slot li holds the li-th SURVIVING cell — rerun the
@@ -415,7 +424,8 @@ def bin_raw(
             lx_j = (gx0 + rj).astype(jnp.float32) * grid.tile_w - gmx
             ly_j = (gy0 + qj).astype(jnp.float32) * grid.tile_h - gmy
             qmin_j = _cell_qmin(ga, gb, gc, lx_j, lx_j + (grid.tile_w - 1),
-                                ly_j, ly_j + (grid.tile_h - 1))
+                                ly_j, ly_j + (grid.tile_h - 1),
+                                inv_ga, inv_gc)
             keep_j = (j < gwh) & (qmin_j <= gdmax)
             hit = keep_j & (c == li)
             sel_r = jnp.where(hit, rj, sel_r)
@@ -440,7 +450,7 @@ def bin_raw(
         lx = tx.astype(jnp.float32) * grid.tile_w - gmx
         ly = ty.astype(jnp.float32) * grid.tile_h - gmy
         qmin = _cell_qmin(ga, gb, gc, lx, lx + (grid.tile_w - 1),
-                          ly, ly + (grid.tile_h - 1))
+                          ly, ly + (grid.tile_h - 1), inv_ga, inv_gc)
         keep = keep & (qmin <= gdmax)
 
     key = jnp.where(keep, jax.lax.shift_left(tile_id, tile_shift) | gdkey,
@@ -532,15 +542,16 @@ def pad_relayout(
         & (src < num_real)
     )
     src_c = jnp.clip(src, 0, k_src - 1)
-    if want_keys:
-        # Final relayout pull: pack (carry, key) into one row-2 gather.
-        packed = jnp.stack([carry_sorted, key_sorted], axis=1)  # [k_src, 2]
-        pulled = packed[src_c]
-        carry_padded = jnp.where(valid, pulled[:, 0], dummy)
-        keys_padded = jnp.where(valid, pulled[:, 1], SENTINEL)
-    else:
-        carry_padded = jnp.where(valid, carry_sorted[src_c], dummy)
-        keys_padded = None
+    # Final relayout pull: ALWAYS pack (carry, key) into one row-2 gather —
+    # 8-byte rows hit the aligned-gather path, while the bare 1-column
+    # gather is the slow 1-D random-gather path (measured r08: the
+    # want_keys=False full bin was 1.8 ms SLOWER than want_keys=True at the
+    # bench shape purely from this pull).
+    packed = jnp.stack([carry_sorted, key_sorted], axis=1)  # [k_src, 2]
+    pulled = packed[src_c]
+    carry_padded = jnp.where(valid, pulled[:, 0], dummy)
+    keys_padded = (jnp.where(valid, pulled[:, 1], SENTINEL) if want_keys
+                   else None)
 
     num_kept = jnp.sum(valid.astype(jnp.int32))
     return carry_padded, keys_padded, padded_starts, num_kept
