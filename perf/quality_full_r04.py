@@ -127,10 +127,43 @@ def make_aug_cameras(test_cams, yaw_deg=AUG_YAW_DEG):
     return out
 
 
-def run_one(guide: bool, models, info, seed=3):
+def snapshot_trainer(tr):
+    """Deep-enough snapshot of Trainer mutable state for trunk/branch runs
+    (pytrees are immutable — only containers and host RNG need copying)."""
+    import copy
+
+    tr._materialize_box_pool()
+    return dict(
+        state=tr.state,
+        box_fields=dict(tr.box_fields), box_opts=dict(tr.box_opts),
+        box_stats=dict(tr.box_stats),
+        frame_deltas=dict(tr.frame_deltas),
+        frame_delta_opts=dict(tr.frame_delta_opts),
+        rng=copy.deepcopy(tr.rng), key=tr.key,
+        viewpoint_stack=list(tr.viewpoint_stack),
+        raster_cfg=tr.raster_cfg,
+        kcap_streak=getattr(tr, "_kcap_low_streak", 0))
+
+
+def restore_trainer(tr, snap):
+    tr._box_pool = None
+    tr.state = snap["state"]
+    tr.box_fields = dict(snap["box_fields"])
+    tr.box_opts = dict(snap["box_opts"])
+    tr.box_stats = dict(snap["box_stats"])
+    tr.frame_deltas = dict(snap["frame_deltas"])
+    tr.frame_delta_opts = dict(snap["frame_delta_opts"])
+    import copy
+
+    tr.rng = copy.deepcopy(snap["rng"])
+    tr.key = snap["key"]
+    tr.viewpoint_stack = list(snap["viewpoint_stack"])
+    tr.raster_cfg = snap["raster_cfg"]
+    tr._kcap_low_streak = snap["kcap_streak"]
+
+
+def build_trainer(info, seed=3):
     import jax
-    import jax.numpy as jnp
-    from vegs_tpu.losses.sd_guidance import SDGuidance
     from vegs_tpu.scene import Scene
     from vegs_tpu.train import Trainer
     from vegs_tpu.config import VegsConfig
@@ -138,7 +171,7 @@ def run_one(guide: bool, models, info, seed=3):
     from vegs_tpu.priors import initialize_gaussians_with_window_normals
 
     cfg = VegsConfig()
-    cfg.model.model_path = f"/tmp/vegs_qf4_{'g' if guide else 'ng'}"
+    cfg.model.model_path = "/tmp/vegs_qf4"
     cfg.opt.densify_from_iter = 100
     cfg.opt.densification_interval = 150
     cfg.opt.densify_until_iter = DENSIFY_UNTIL
@@ -147,13 +180,8 @@ def run_one(guide: bool, models, info, seed=3):
     cfg.sd.perceptual_loss = True
     cfg.sd.perceptual_loss_lambda = 0.01
     cfg.sd.sd_image_size = 32
-    if guide:
-        cfg.sd.start_guiding_from_iter = GUIDE_FROM
-        cfg.sd.end_guiding_at_iter = ITERS
-        cfg.sd.sm_lambda = 3e-7
-    else:
-        cfg.sd.start_guiding_from_iter = 10 ** 9
-        cfg.sd.end_guiding_at_iter = 10 ** 9
+    cfg.sd.start_guiding_from_iter = 10 ** 9   # trunk runs unguided
+    cfg.sd.end_guiding_at_iter = 10 ** 9
 
     scene = Scene(cfg.model, scene_info=info, shuffle=False)
     raster = RasterizeConfig(backend=qf.BACKEND, k_cap=1 << 15)
@@ -161,40 +189,25 @@ def run_one(guide: bool, models, info, seed=3):
     tr.state = tr.state.replace(
         field=initialize_gaussians_with_window_normals(
             tr.state.field, scene.getTrainCameras()))
-    if guide:
-        tr.sd_guidance = SDGuidance(
-            models, guidance_mode="score-matching", start_iter=GUIDE_FROM,
-            max_iters=ITERS, max_step=50, sm_lambda=cfg.sd.sm_lambda)
-    else:
-        tr.sd_guidance = None
+    return tr
 
-    aug_cams = make_aug_cameras(scene.getTestCameras())
-    t0 = time.time()
-    trend = []
 
+def make_snap_fn(tr, aug_cams, label, t0, trend):
     def snap(it):
         e = tr.evaluate(with_boxes=True, with_ssim=True)
         ea = tr.evaluate(cameras=aug_cams, with_boxes=True, with_ssim=True)
         n = int(tr.state.field.num_active())
         trend.append((it, e["psnr"], e["ssim"], ea["psnr"], ea["ssim"], n))
-        print(f"[{'guided' if guide else 'no-guid'}] it {it}: "
-              f"test {e['psnr']:.2f}/{e['ssim']:.3f} "
+        print(f"[{label}] it {it}: test {e['psnr']:.2f}/{e['ssim']:.3f} "
               f"aug {ea['psnr']:.2f}/{ea['ssim']:.3f} n={n} "
               f"({time.time()-t0:.0f}s)", flush=True)
-
-    snap(0)
-    guided = 0
-    for it in range(1, ITERS + 1):
-        m = tr.train_iteration(it)
-        guided += 1 if "guidance_loss" in m else 0
-        if it % EVAL_EVERY == 0:
-            snap(it)
-    return dict(trend=trend, guided=guided, wall=time.time() - t0)
+    return snap
 
 
 def main():
     import jax
     from vegs_tpu.diffusion.pipeline import DiffusionModels
+    from vegs_tpu.losses.sd_guidance import SDGuidance
 
     rng = np.random.default_rng(7)
     info, true_b2w, noisy_b2w = qf.build_scene_info(rng, h=H, w=W,
@@ -203,43 +216,105 @@ def main():
     models = DiffusionModels.tiny(jax.random.key(0), image_size=32)
     models, pre_losses = pretrain_unet(models, train_imgs)
 
-    res_g = run_one(True, models, info)
-    res_n = run_one(False, models, info)
+    # ---- shared trunk (iterations 1..GUIDE_FROM, unguided) -----------------
+    tr = build_trainer(info)
+    aug_cams = make_aug_cameras(tr.scene.getTestCameras())
+    t0 = time.time()
+    trunk_trend = []
+    snap = make_snap_fn(tr, aug_cams, "trunk", t0, trunk_trend)
+    snap(0)
+    for it in range(1, GUIDE_FROM + 1):
+        tr.train_iteration(it)
+        if it % EVAL_EVERY == 0:
+            snap(it)
+    if GUIDE_FROM % EVAL_EVERY:
+        snap(GUIDE_FROM)
+    trunk_snap = snapshot_trainer(tr)
+    wall_trunk = time.time() - t0
+
+    # ---- branch A: guided window ------------------------------------------
+    tr.sd_guidance = SDGuidance(
+        models, guidance_mode="score-matching", start_iter=GUIDE_FROM,
+        max_iters=ITERS, max_step=50, sm_lambda=3e-7)
+    tr.cfg.sd.start_guiding_from_iter = GUIDE_FROM
+    tr.cfg.sd.end_guiding_at_iter = ITERS
+    tr.cfg.sd.sm_lambda = 3e-7
+    t0 = time.time()
+    g_trend = []
+    snap = make_snap_fn(tr, aug_cams, "guided", t0, g_trend)
+    guided = 0
+    for it in range(GUIDE_FROM + 1, ITERS + 1):
+        m = tr.train_iteration(it)
+        guided += 1 if "guidance_loss" in m else 0
+        if it % EVAL_EVERY == 0:
+            snap(it)
+    if ITERS % EVAL_EVERY:
+        snap(ITERS)
+    wall_g = time.time() - t0
+
+    # ---- branch B: same iterations, no guidance ---------------------------
+    restore_trainer(tr, trunk_snap)
+    tr.sd_guidance = None
+    tr.cfg.sd.start_guiding_from_iter = 10 ** 9
+    tr.cfg.sd.end_guiding_at_iter = 10 ** 9
+    t0 = time.time()
+    n_trend = []
+    snap = make_snap_fn(tr, aug_cams, "no-guid", t0, n_trend)
+    for it in range(GUIDE_FROM + 1, ITERS + 1):
+        tr.train_iteration(it)
+        if it % EVAL_EVERY == 0:
+            snap(it)
+    if ITERS % EVAL_EVERY:
+        snap(ITERS)
+    wall_n = time.time() - t0
 
     lines = [
         "# QUALITY_FULL_r04 — full-model quality at 128x256 + guidance ablation",
         "",
-        "Two identical config-5 runs on the ray-traced street oracle",
+        "Config-5 training on the ray-traced street oracle",
         f"({H}x{W}, {N_CAMS} cameras, idx%8 split, {ITERS} iterations,",
         f"densify [100, {DENSIFY_UNTIL}] every 150, normal-prior init +",
-        "normal guidance + dynamic box + VGG perceptual): one WITH the",
-        f"diffusion-guidance window [{GUIDE_FROM}, {ITERS}] and one",
-        "WITHOUT. The guidance model is the tiny UNet PRETRAINED on crops",
-        f"of this scene's training images (eps-MSE {pre_losses[0]:.3f} ->",
+        "normal guidance + dynamic box + VGG perceptual), with a",
+        "trunk-and-branch ablation of the diffusion-guidance window",
+        f"[{GUIDE_FROM}, {ITERS}]: one shared trunk to {GUIDE_FROM}, then",
+        "the SAME state trained on the SAME camera sequence with and",
+        "without guidance — the two arms differ ONLY in the guidance term.",
+        "The guidance model is the tiny UNet PRETRAINED on crops of this",
+        f"scene's training images (eps-MSE {pre_losses[0]:.3f} ->",
         f"{pre_losses[-1]:.3f} over {PRETRAIN_STEPS} steps — the analog of",
         "the reference's per-segment LoRA). 'aug' columns evaluate",
         f"EXTRAPOLATED views: test cameras yawed +-{AUG_YAW_DEG:.0f} deg,",
         "GT re-ray-traced at the new poses (reference train.py:524-530's",
         "extrapolation sweeps, but with true GT to score against).",
         "",
-        "| iter | guided test PSNR/SSIM | guided AUG PSNR/SSIM |"
-        " no-guid test PSNR/SSIM | no-guid AUG PSNR/SSIM | n (guided) |",
-        "|---|---|---|---|---|---|",
+        "Trunk (shared prefix):",
+        "",
+        "| iter | test PSNR/SSIM | aug PSNR/SSIM | active |",
+        "|---|---|---|---|",
     ]
-    for (it, p, s, pa, sa, n), (_, p2, s2, pa2, sa2, _) in zip(
-            res_g["trend"], res_n["trend"]):
+    for it, p, sm, pa, sa, n in trunk_trend:
+        lines.append(f"| {it} | {p:.2f}/{sm:.3f} | {pa:.2f}/{sa:.3f} | {n} |")
+    lines += [
+        "",
+        "Branches (identical state + camera sequence at the fork):",
+        "",
+        "| iter | guided test | guided AUG | no-guid test | no-guid AUG |",
+        "|---|---|---|---|---|",
+    ]
+    for (it, p, sm, pa, sa, n), (_, p2, s2, pa2, sa2, _) in zip(
+            g_trend, n_trend):
         lines.append(
-            f"| {it} | {p:.2f}/{s:.3f} | {pa:.2f}/{sa:.3f} "
-            f"| {p2:.2f}/{s2:.3f} | {pa2:.2f}/{sa2:.3f} | {n} |")
-    gl, nl = res_g["trend"][-1], res_n["trend"][-1]
+            f"| {it} | {p:.2f}/{sm:.3f} | {pa:.2f}/{sa:.3f} "
+            f"| {p2:.2f}/{s2:.3f} | {pa2:.2f}/{sa2:.3f} |")
+    gl, nl = g_trend[-1], n_trend[-1]
     lines += [
         "",
         f"Final extrapolated-view delta (guided - unguided): "
         f"PSNR {gl[3]-nl[3]:+.2f} dB, SSIM {gl[4]-nl[4]:+.3f}.",
         f"Final test-view delta: PSNR {gl[1]-nl[1]:+.2f} dB.",
-        f"Guided iterations executed: {res_g['guided']}.",
-        f"Wall-clock: guided {res_g['wall']:.0f} s, unguided "
-        f"{res_n['wall']:.0f} s ({qf.BACKEND} backend).",
+        f"Guided iterations executed: {guided}.",
+        f"Wall-clock: trunk {wall_trunk:.0f} s + guided {wall_g:.0f} s + "
+        f"unguided {wall_n:.0f} s ({qf.BACKEND} backend).",
         "Reproduce: `python perf/quality_full_r04.py`.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(
