@@ -34,7 +34,7 @@ H, W = 376, 1408
 # Default bench scale is 500k; VEGS_BENCH_N=2233571 reproduces the
 # reference's recorded mid-training scale (~2.23M Gaussians, tensor shapes
 # at /root/reference/gaussian_renderer/__init__.py:116-118) — measured
-# numbers for both scales live in NOTES_PERF.md.
+# numbers for both scales: NOTES_PERF.md "bench.py round-4 final numbers".
 N_GAUSSIANS = int(os.environ.get("VEGS_BENCH_N", "500000"))
 # Probe capacity: must stay under binning's 2^23 cull-compact packing gate
 # so the probe measures the same (post-cull) totals the sized run will see.
