@@ -95,9 +95,10 @@ def main():
     # one capacity by the max of both wastes ~15% of every raw-stage sort/
     # gather (and at 2.23M, sizing by the padded need alone dropped ~557k
     # real instances — measured 2026-08-20).
+    _compact = os.environ.get("VEGS_COMPACT", "1") != "0"
     _rb = _binning.bin_raw(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
-        conics=_proj.conics, opacities=_proj.opacities)
+        conics=_proj.conics, opacities=_proj.opacities, compact=_compact)
     _need_raw = int(_rb.total)
     _need_pad = int(_probe.tile_starts[-1])
     _r512 = lambda v: (int(v * 1.05) + 511) // 512 * 512
@@ -108,13 +109,14 @@ def main():
     # Honesty guard: verify nothing is dropped at the auto-sized caps.
     _check = _binning.bin_gaussians(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, k_cap,
-        conics=_proj.conics, opacities=_proj.opacities, k_pad=k_pad)
+        conics=_proj.conics, opacities=_proj.opacities, k_pad=k_pad,
+        compact=_compact)
     _nd = int(_check.num_dropped)
     assert _nd == 0, f"bench caps drop {_nd} instances — size by need"
 
     cfg = RasterizeConfig(
         backend="pallas", k_cap=k_cap, k_pad=k_pad,
-        tile_h=TILE_H, tile_w=TILE_W,
+        tile_h=TILE_H, tile_w=TILE_W, cull_compact=_compact,
         blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "256")))
     bg = jnp.zeros(3)
 

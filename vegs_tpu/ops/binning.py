@@ -568,6 +568,7 @@ def bin_gaussians(
     want_keys: bool = True,
     want_grad_maps: bool = True,
     k_pad: int = 0,
+    compact: bool | None = None,
 ) -> Binned:
     """Expand each active Gaussian into one instance per covered tile,
     sorted by (tile, quantized depth), in the chunk-aligned padded layout
@@ -595,7 +596,7 @@ def bin_gaussians(
     assert k_pad % PAD_ALIGN == 0
     rb = bin_raw(means2d, depths, radii, grid, k_cap,
                  conics=conics, opacities=opacities,
-                 want_rawslot=want_grad_maps)
+                 want_rawslot=want_grad_maps, compact=compact)
     gidx_padded, keys_padded, padded_starts, num_kept = pad_relayout(
         rb.key_sorted, rb.gidx_sorted, rb.raw_starts, num_tiles, k_pad,
         dummy=n, want_keys=want_keys)
