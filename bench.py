@@ -95,7 +95,10 @@ def main():
     # one capacity by the max of both wastes ~15% of every raw-stage sort/
     # gather (and at 2.23M, sizing by the padded need alone dropped ~557k
     # real instances — measured 2026-08-20).
-    _compact = os.environ.get("VEGS_COMPACT", "1") != "0"
+    # VEGS_COMPACT: "1" force on, "0" force off, unset = auto (the
+    # production n-gated default, binning.COMPACT_MAX_N)
+    _ce = os.environ.get("VEGS_COMPACT", "auto")
+    _compact = None if _ce == "auto" else (_ce != "0")
     _rb = _binning.bin_raw(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
         conics=_proj.conics, opacities=_proj.opacities, compact=_compact)
@@ -116,7 +119,8 @@ def main():
 
     cfg = RasterizeConfig(
         backend="pallas", k_cap=k_cap, k_pad=k_pad,
-        tile_h=TILE_H, tile_w=TILE_W, cull_compact=_compact,
+        tile_h=TILE_H, tile_w=TILE_W,
+        cull_compact="auto" if _compact is None else _compact,
         blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "256")))
     bg = jnp.zeros(3)
 

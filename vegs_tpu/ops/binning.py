@@ -187,6 +187,12 @@ DMAX_QUANT = 12.0  # dmax = 2*ln(255*op) <= 2*ln(255) ~ 11.09 for op <= 1
 J_CAP = 8
 _CUM_BITS = 23
 _CUM_MASK = (1 << _CUM_BITS) - 1
+# Auto-gate crossover (TPU-measured, 2026-08-21): at the 500k bench the
+# compact path wins clearly (9.4 -> 10.0 Mpix/s with the capacity split),
+# but at the 2.23M reference scale the per-Gaussian/per-slot J-scans cost
+# more than the ~12% capacity saving returns (1.678 vs 1.869 Mpix/s with
+# the scans off). Above this n the default keeps the pure post-hoc cull.
+COMPACT_MAX_N = 1_000_000
 
 
 def _conic_invs(ca, cc):
@@ -269,9 +275,10 @@ def bin_raw(
     do_cull = conics is not None and opacities is not None
     # Cull-compact gate (see J_CAP): needs do_cull's fields and 9 spare
     # bits in the rec's cum_excl column. `compact=False` forces the pure
-    # post-hoc cull (tests compare the two paths); None = auto.
+    # post-hoc cull (tests compare the two paths); None = auto (on up to
+    # COMPACT_MAX_N Gaussians — the measured TPU crossover).
     if compact is None:
-        compact = k_cap < (1 << _CUM_BITS)
+        compact = n <= COMPACT_MAX_N
     compact = do_cull and compact and k_cap < (1 << _CUM_BITS)
 
     active = (jnp.min(radii, axis=1) if radii.ndim == 2 else radii) > 0

@@ -53,10 +53,10 @@ class RasterizeConfig(NamedTuple):
     #                            rounding) can exceed the post-cull raw
     #                            need — splitting lets sort/segreduce run
     #                            at the smaller size (binning.bin_gaussians)
-    cull_compact: bool = True  # pre-assignment cull of small rects
-    #                            (binning.J_CAP); A/B switch for scales
-    #                            where the per-Gaussian scans outweigh the
-    #                            capacity savings
+    cull_compact: object = "auto"  # pre-assignment cull of small rects
+    #                            (binning.J_CAP): "auto" = on up to the
+    #                            measured TPU crossover (binning.
+    #                            COMPACT_MAX_N); True/False force it
 
 
 def _blocked_cumsum(x: jax.Array, block: int = 512) -> jax.Array:
@@ -319,7 +319,8 @@ def rasterize(
         want_keys=(backend == "dense"),
         want_grad_maps=not config.forward_only,
         k_pad=config.k_pad,
-        compact=config.cull_compact,
+        compact=(None if config.cull_compact == "auto"
+                 else bool(config.cull_compact)),
     )
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
     # chunk-aligned layout points them at gidx == n). Row gathers hit the
