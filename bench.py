@@ -3,15 +3,26 @@
 Measures differentiable-rasterization throughput (forward+backward) at the
 reference's canonical KITTI-360 workload shape — 376x1408 stereo resolution
 (BASELINE.md: "Rendered Mpix/s fwd+bwd per chip") — on a synthetic scene
-sized like a mid-training KITTI segment.
+sized like a mid-training KITTI segment, at BOTH recorded scales:
+
+  * 500k Gaussians — the historical bench default (the `value` field, for
+    round-over-round comparability), and
+  * 2,233,571 Gaussians — the reference's actual recorded mid-training
+    shape (/root/reference/gaussian_renderer/__init__.py:116-118), emitted
+    as `ref_scale_mpixs` so the reference-scale number is driver-captured
+    every round instead of living in prose.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "ref_scale_mpixs": N, "ref_scale_vs_baseline": N}
 
 vs_baseline is relative to NOMINAL_BASELINE_MPIXS, a documented assumption for
 the CUDA reference (the reference repo publishes no numbers, BASELINE.md): a
 single modern GPU runs the 3DGS fwd+bwd at roughly 10 Mpix/s on scenes of
 this scale.
+
+VEGS_BENCH_N overrides to a SINGLE scale (no second measurement) for A/B
+experiments.
 """
 
 import functools
@@ -31,14 +42,8 @@ import numpy as np  # noqa: E402
 NOMINAL_BASELINE_MPIXS = 10.0
 
 H, W = 376, 1408
-# Default bench scale is 500k; VEGS_BENCH_N=2233571 reproduces the
-# reference's recorded mid-training scale (~2.23M Gaussians, tensor shapes
-# at /root/reference/gaussian_renderer/__init__.py:116-118) — measured
-# numbers for both scales: NOTES_PERF.md "bench.py round-4 final numbers".
-N_GAUSSIANS = int(os.environ.get("VEGS_BENCH_N", "500000"))
-# Probe capacity: must stay under binning's 2^23 cull-compact packing gate
-# so the probe measures the same (post-cull) totals the sized run will see.
-K_CAP = 1 << 21 if N_GAUSSIANS <= 1_000_000 else (1 << 23) - 512
+DEFAULT_N = 500_000
+REF_SCALE_N = 2_233_571
 # Tile-shape A/B (perf experiments; production default is 16x16):
 TILE_H = int(os.environ.get("VEGS_TILE_H", "16"))
 TILE_W = int(os.environ.get("VEGS_TILE_W", "16"))
@@ -54,23 +59,29 @@ if TILE_H <= 0 or TILE_W <= 0 or (8 * TILE_W) % 128 != 0:
 TIMING_ITERS = 8
 
 
-def main():
+def measure(n_gaussians: int) -> float:
+    """Rasterizer fwd+bwd throughput (Mpix/s) at `n_gaussians` scale."""
     import jax
     import jax.numpy as jnp
 
     from tests.utils import make_camera, random_gaussians
     from vegs_tpu.ops.rasterize import RasterizeConfig, rasterize
 
+    # Probe capacity: must stay under binning's 2^23 cull-compact packing
+    # gate so the probe measures the same (post-cull) totals the sized run
+    # will see.
+    probe_cap = 1 << 21 if n_gaussians <= 1_000_000 else (1 << 23) - 512
+
     cam = make_camera(height=H, width=W, fovx=1.2, fovy=0.4)
     rng = np.random.default_rng(0)
     means, quats, scales, opac, shs = random_gaussians(
-        rng, N_GAUSSIANS, depth_range=(2.0, 60.0), xy_extent=40.0,
+        rng, n_gaussians, depth_range=(2.0, 60.0), xy_extent=40.0,
         scale_range=(0.002, 0.025))
     # Distribute the cloud across the view frustum so (like a trained scene)
     # nearly every Gaussian is visible: z in [2, 60], x/y filling the image.
-    z = np.asarray(rng.uniform(2.0, 60.0, N_GAUSSIANS), np.float32)
-    u = rng.uniform(-0.95, 0.95, N_GAUSSIANS)
-    v = rng.uniform(-0.95, 0.95, N_GAUSSIANS)
+    z = np.asarray(rng.uniform(2.0, 60.0, n_gaussians), np.float32)
+    u = rng.uniform(-0.95, 0.95, n_gaussians)
+    v = rng.uniform(-0.95, 0.95, n_gaussians)
     means = jnp.asarray(np.stack([
         z * np.tan(0.6) * u, z * np.tan(0.2) * v, z], axis=1, dtype=np.float32))
     # Auto-size the instance capacity (every binning/gather/sort stage is
@@ -85,7 +96,7 @@ def main():
     _cov6 = _geometry.cov6_from_scaling_rotation(scales, quats)
     _proj = _project(means, _cov6, opac, shs, cam)
     _probe = _binning.bin_gaussians(
-        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
+        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
         conics=_proj.conics, opacities=_proj.opacities)
     # Size the TWO capacities independently (binning's k_cap/k_pad split):
     # the raw stream must hold every assigned slot (post-cull totals under
@@ -100,14 +111,14 @@ def main():
     _ce = os.environ.get("VEGS_COMPACT", "auto")
     _compact = None if _ce == "auto" else (_ce != "0")
     _rb = _binning.bin_raw(
-        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, K_CAP,
+        _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
         conics=_proj.conics, opacities=_proj.opacities, compact=_compact)
     _need_raw = int(_rb.total)
     _need_pad = int(_probe.tile_starts[-1])
     _r512 = lambda v: (int(v * 1.05) + 511) // 512 * 512
-    k_cap = min(K_CAP, _r512(_need_raw))
-    k_pad = min(K_CAP, _r512(_need_pad))
-    print(f"# auto k_cap: raw need {_need_raw} -> {k_cap}, "
+    k_cap = min(probe_cap, _r512(_need_raw))
+    k_pad = min(probe_cap, _r512(_need_pad))
+    print(f"# [{n_gaussians}] auto k_cap: raw need {_need_raw} -> {k_cap}, "
           f"padded need {_need_pad} -> {k_pad}", file=sys.stderr)
     # Honesty guard: verify nothing is dropped at the auto-sized caps.
     _check = _binning.bin_gaussians(
@@ -146,13 +157,31 @@ def main():
     float(fwdbwd_loop(*args, 1 + TIMING_ITERS))
     t2 = time.time(); float(fwdbwd_loop(*args, 1 + TIMING_ITERS)); t3 = time.time()
     per_iter = ((t3 - t2) - (t1 - t0)) / TIMING_ITERS
-    mpixs = H * W / per_iter / 1e6
+    return H * W / per_iter / 1e6
 
+
+def main():
+    override = os.environ.get("VEGS_BENCH_N")
+    if override is not None:
+        mpixs = measure(int(override))
+        print(json.dumps({
+            "metric": "rasterize_fwd_bwd_throughput",
+            "value": round(mpixs, 3),
+            "unit": "Mpix/s",
+            "vs_baseline": round(mpixs / NOMINAL_BASELINE_MPIXS, 4),
+            "n_gaussians": int(override),
+        }))
+        return
+
+    mpixs = measure(DEFAULT_N)
+    ref_mpixs = measure(REF_SCALE_N)
     print(json.dumps({
         "metric": "rasterize_fwd_bwd_throughput",
         "value": round(mpixs, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpixs / NOMINAL_BASELINE_MPIXS, 4),
+        "ref_scale_mpixs": round(ref_mpixs, 3),
+        "ref_scale_vs_baseline": round(ref_mpixs / NOMINAL_BASELINE_MPIXS, 4),
     }))
 
 

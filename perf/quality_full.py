@@ -87,9 +87,10 @@ def build_scene_info(rng, h=None, w=None, n_cams=None, noise_t=None):
         noise = np.eye(4, dtype=np.float32)
         noise[:3, 3] = rng.normal(0, noise_t, 3).astype(np.float32)
         noisy_b2w[f] = noise @ m
-        w = (np.concatenate([canon, np.ones((len(canon), 1), np.float32)], 1)
-             @ m.T)[:, :3]
-        dyn_pts.append(w)
+        wpts = (np.concatenate([canon, np.ones((len(canon), 1),
+                                               np.float32)], 1)
+                @ m.T)[:, :3]
+        dyn_pts.append(wpts)
         dyn_cols.append(ccols)
         dyn_ts.append(np.full(len(canon), f))
     dyn = dr.DynamicPointCloud(

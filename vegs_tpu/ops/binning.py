@@ -187,6 +187,11 @@ DMAX_QUANT = 12.0  # dmax = 2*ln(255*op) <= 2*ln(255) ~ 11.09 for op <= 1
 J_CAP = 8
 _CUM_BITS = 23
 _CUM_MASK = (1 << _CUM_BITS) - 1
+# The rec's col1 packs (h-1) into 3 bits above the _CUM_BITS offset and the
+# `small` flag one bit higher (see bin_raw's packing); rects qualify as
+# small when w*h <= J_CAP, so h <= J_CAP must fit those 3 bits. Raising
+# J_CAP past 8 would silently wrap (h-1) & 7 and corrupt cell selection.
+assert J_CAP <= 8, "col1 bit layout gives (h-1) exactly 3 bits"
 # Auto-gate crossover (TPU-measured, 2026-08-21): at the 500k bench the
 # compact path wins clearly (9.4 -> 10.0 Mpix/s with the capacity split),
 # but at the 2.23M reference scale the per-Gaussian/per-slot J-scans cost

@@ -132,7 +132,13 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
         jax.lax.stop_gradient(proj.depths),
         proj.radii_xy, grid, k_loc,
         conics=jax.lax.stop_gradient(proj.conics),
-        opacities=jax.lax.stop_gradient(proj.opacities))
+        opacities=jax.lax.stop_gradient(proj.opacities),
+        # Honor the config's cull_compact switch exactly like rasterize()
+        # does. NOTE: "auto" gates on the SHARD-LOCAL n here (n_loc =
+        # n_global / ndev), which is the right scale — the per-Gaussian
+        # J-scans whose cost the gate trades off run on the shard.
+        compact=(None if config.cull_compact == "auto"
+                 else bool(config.cull_compact)))
 
     # Per-Gaussian -> per-instance expansion in SORTED-stream order,
     # with the segment-reduce backward (order = raw slot -> sorted pos,
@@ -215,7 +221,11 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
     # smallest global k_cap that would have admitted every instance (the
     # analog of the single-device num_needed, rasterize.py's
     # tile_starts[-1], in the units Trainer._adapt_k_cap compares).
-    needed = jax.lax.pmax(rb.total, TILE_AXIS) * ndev
+    # Saturating multiply: rb.total is int32 and a worst shard near 2^31/D
+    # would wrap when scaled by ndev — clamp the local total first so the
+    # adapter sees INT32_MAX (still "grow") instead of a negative number.
+    needed = jnp.minimum(jax.lax.pmax(rb.total, TILE_AXIS),
+                         (2**31 - 1) // max(ndev, 1)) * ndev
     return out, proj, (dropped, needed)
 
 

@@ -75,15 +75,20 @@ class KCapAdapter:
     much here as on the single-device path."""
 
     def __init__(self, k_cap: int, k_cap_min: int = 1 << 15,
-                 decay_window: int = 200):
+                 decay_window: int = 200, k_cap_max: int = 1 << 24):
         self.k_cap = int(k_cap)
         self.k_cap_min = int(k_cap_min)
+        # Growth ceiling: without it a pathological scene doubles k_cap
+        # every dropped step until compile/HBM failure. 2^24 instances
+        # (~1 GB of raw stream at 64 B/instance) is far past any measured
+        # need (reference scale needs ~4.5M) yet well inside v5e HBM.
+        self.k_cap_max = int(k_cap_max)
         self.decay_window = int(decay_window)
         self._low_streak = 0
 
     def update(self, num_dropped: float, num_needed: float) -> int | None:
-        if num_dropped > 0:
-            self.k_cap *= 2
+        if num_dropped > 0 and self.k_cap < self.k_cap_max:
+            self.k_cap = min(self.k_cap * 2, self.k_cap_max)
             self._low_streak = 0
             return self.k_cap
         if num_needed > 0 and num_needed < 0.25 * self.k_cap:
