@@ -110,21 +110,42 @@ def measure(n_gaussians: int) -> float:
     # production n-gated default, binning.COMPACT_MAX_N)
     _ce = os.environ.get("VEGS_COMPACT", "auto")
     _compact = None if _ce == "auto" else (_ce != "0")
+    # VEGS_SATCULL: "0" disables the saturation prepass A/B-wise.
+    _sat_on = os.environ.get("VEGS_SATCULL", "1") != "0"
     _rb = _binning.bin_raw(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
         conics=_proj.conics, opacities=_proj.opacities, compact=_compact)
+    if _sat_on:
+        # k_pad is sized by the SATCULLED padded need — the saturation
+        # prepass clips each tile to its contributing prefix, so the padded
+        # layout (and every downstream stage) shrinks accordingly.
+        import jax.numpy as jnp
+        from vegs_tpu.ops import satcull as _satcull
+        from vegs_tpu.ops.rasterize import build_payload as _bp
+        from vegs_tpu import geometry as _geo
+
+        _qn = _geo.quat_standardize(_geo.quat_normalize(quats))
+        _pf, _ = _bp(_proj, _qn, scales, jnp.bfloat16)
+        _pf_sorted = jnp.pad(_pf, ((0, 1), (0, 0)))[_rb.gidx_sorted]
+        _sat = _satcull.satcount(_pf_sorted.T, _rb.raw_starts, _grid)
+        _probe = _binning.bin_gaussians(
+            _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
+            conics=_proj.conics, opacities=_proj.opacities,
+            rb=_rb, sat_counts=_sat)
     _need_raw = int(_rb.total)
     _need_pad = int(_probe.tile_starts[-1])
     _r512 = lambda v: (int(v * 1.05) + 511) // 512 * 512
     k_cap = min(probe_cap, _r512(_need_raw))
     k_pad = min(probe_cap, _r512(_need_pad))
     print(f"# [{n_gaussians}] auto k_cap: raw need {_need_raw} -> {k_cap}, "
-          f"padded need {_need_pad} -> {k_pad}", file=sys.stderr)
+          f"padded need {_need_pad} -> {k_pad} (satcull={_sat_on})",
+          file=sys.stderr)
     # Honesty guard: verify nothing is dropped at the auto-sized caps.
     _check = _binning.bin_gaussians(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, k_cap,
         conics=_proj.conics, opacities=_proj.opacities, k_pad=k_pad,
-        compact=_compact)
+        compact=_compact,
+        sat_counts=(_sat if _sat_on else None))
     _nd = int(_check.num_dropped)
     assert _nd == 0, f"bench caps drop {_nd} instances — size by need"
 
@@ -132,6 +153,7 @@ def measure(n_gaussians: int) -> float:
         backend="pallas", k_cap=k_cap, k_pad=k_pad,
         tile_h=TILE_H, tile_w=TILE_W,
         cull_compact="auto" if _compact is None else _compact,
+        sat_cull=_sat_on,
         blend_chunk=int(os.environ.get("VEGS_BLEND_CHUNK", "256")))
     bg = jnp.zeros(3)
 

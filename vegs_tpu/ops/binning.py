@@ -121,11 +121,16 @@ class Binned(NamedTuple):
     num_dropped: jax.Array    # scalar int32 — instances lost to capacity
     # Gradient-reduction byproducts (consumed by rasterize.gather_expand's
     # custom VJP; computing them here reuses this stage's sorts and saves a
-    # ~23 ms searchsorted + ~3 ms sort in the backward precompute):
-    order: jax.Array        # [k_cap] int32: raw instance r -> padded slot
-    #                         (k_pad = dropped/nonexistent -> zero row)
-    gauss_ends: jax.Array   # [n] int32: exclusive end of each Gaussian's raw
-    #                         instance range, clamped to k_cap
+    # ~23 ms searchsorted + ~3 ms sort in the backward precompute).
+    # WITHOUT sat_counts: `order` is [k_cap] (raw instance r -> padded slot;
+    # k_pad = dropped -> zero row) and `gauss_ends` [n] bounds each
+    # Gaussian's raw range. WITH sat_counts the backward working set is
+    # COMPACTED: `order` is [k_pad] over kept-raw rows (rows past the kept
+    # count -> k_pad dead marker) and `gauss_ends` bounds each Gaussian's
+    # kept rows in the same compact coordinates — gather_expand's contract
+    # (gaussian-grouped contiguous rows) is preserved at ~1/5 the size.
+    order: jax.Array
+    gauss_ends: jax.Array
 
 
 def _blocked_cumsum_1d(x: jax.Array, block: int = 512) -> jax.Array:
@@ -507,10 +512,15 @@ def pad_relayout(
     k_cap: int,
     dummy: int,
     want_keys: bool = True,
+    counts_override: jax.Array | None = None,  # [num_tiles] per-tile clip
 ):
     """Re-lay a (tile, depth)-sorted instance stream into the chunk-aligned
     per-tile layout the blend kernels consume: each tile's range is padded to
     a PAD_ALIGN multiple; padding slots carry `dummy` / SENTINEL.
+
+    `counts_override` (e.g. satcull.satcount's kept counts) clips each
+    tile's instance count — only the leading `counts_override[t]` instances
+    of tile t survive into the padded layout.
 
     Returns (carry_padded [k_cap], keys_padded [k_cap] or None,
              padded_starts [num_tiles + 1], num_kept scalar).
@@ -522,6 +532,8 @@ def pad_relayout(
     k_src = key_sorted.shape[0]
     num_real = raw_starts[num_tiles]
     tile_counts = raw_starts[1:] - raw_starts[:-1]  # [T]
+    if counts_override is not None:
+        tile_counts = jnp.minimum(tile_counts, counts_override)
 
     # Chunk-aligned layout: pad each tile's range up to PAD_ALIGN slots.
     padded_counts = -(-tile_counts // PAD_ALIGN) * PAD_ALIGN
@@ -581,6 +593,8 @@ def bin_gaussians(
     want_grad_maps: bool = True,
     k_pad: int = 0,
     compact: bool | None = None,
+    rb: RawBinned | None = None,
+    sat_counts: jax.Array | None = None,
 ) -> Binned:
     """Expand each active Gaussian into one instance per covered tile,
     sorted by (tile, quantized depth), in the chunk-aligned padded layout
@@ -600,20 +614,34 @@ def bin_gaussians(
     kept instances PLUS per-tile PAD_ALIGN rounding — at the bench workload
     padding exceeds the residual cull slack, so k_pad > k_cap buys the raw
     stages a ~15% smaller working set (mirrors tile_sharded's existing
-    k_loc/k_blend split)."""
+    k_loc/k_blend split).
+
+    `rb` lets the caller reuse a precomputed bin_raw result (rasterize runs
+    the saturation prepass between bin_raw and the relayout); `sat_counts`
+    ([num_tiles], satcull.satcount) clips each tile to its saturation
+    prefix — clipped instances are provably invisible, so they are neither
+    laid out nor counted as dropped."""
     n = means2d.shape[0]
     num_tiles = grid.num_tiles
     if k_pad <= 0:
         k_pad = k_cap
     assert k_pad % PAD_ALIGN == 0
-    rb = bin_raw(means2d, depths, radii, grid, k_cap,
-                 conics=conics, opacities=opacities,
-                 want_rawslot=want_grad_maps, compact=compact)
+    if rb is None:
+        rb = bin_raw(means2d, depths, radii, grid, k_cap,
+                     conics=conics, opacities=opacities,
+                     want_rawslot=want_grad_maps, compact=compact)
     gidx_padded, keys_padded, padded_starts, num_kept = pad_relayout(
         rb.key_sorted, rb.gidx_sorted, rb.raw_starts, num_tiles, k_pad,
-        dummy=n, want_keys=want_keys)
-    # capacity losses only: AABB cells removed by the cull are not "dropped"
-    num_dropped = rb.total - (rb.num_raw - rb.num_real) - num_kept
+        dummy=n, want_keys=want_keys, counts_override=sat_counts)
+    # capacity losses only: AABB cells removed by the ellipse cull and
+    # saturated suffixes removed by sat_counts are not "dropped".
+    raw_counts = rb.raw_starts[1:] - rb.raw_starts[:-1]
+    if sat_counts is not None:
+        kept_target = jnp.sum(jnp.minimum(raw_counts, sat_counts))
+    else:
+        kept_target = rb.num_real
+    num_dropped = rb.total - (rb.num_raw - rb.num_real) - (
+        rb.num_real - kept_target) - num_kept
 
     if not want_grad_maps:
         return Binned(
@@ -640,10 +668,52 @@ def bin_gaussians(
         shift_deltas, mode="drop")
     dest = slot + _blocked_cumsum_1d(zs)                  # [k_cap] per sorted pos
     landed = (slot < rb.num_real) & (dest < padded_starts[num_tiles])
+    if sat_counts is not None:
+        # Satcull-clipped tails must not land: their shifted dest would
+        # alias the NEXT tile's padded range. Broadcast each tile's kept
+        # count and raw start to its sorted positions (same boundary-delta
+        # trick) and require the in-tile position to sit in the prefix.
+        def bcast(values):
+            deltas = jnp.concatenate([values[:1], values[1:] - values[:-1]])
+            z = jnp.zeros((k_cap,), jnp.int32).at[rb.raw_starts[:-1]].add(
+                deltas, mode="drop")
+            return _blocked_cumsum_1d(z)
+        kept_counts = jnp.minimum(raw_counts, sat_counts)
+        landed = landed & (
+            slot - bcast(rb.raw_starts[:-1]) < bcast(kept_counts))
     dest = jnp.where(landed, dest, k_pad)  # k_pad == "dropped" marker
-    # rawslot_sorted is a full permutation of [0, k_cap): sorting by it
-    # scatters each sorted position's destination back to its raw slot.
-    _, order = jax.lax.sort((rb.rawslot_sorted, dest), num_keys=1)
+    if sat_counts is None:
+        # rawslot_sorted is a full permutation of [0, k_cap): sorting by it
+        # scatters each sorted position's destination back to its raw slot.
+        _, order = jax.lax.sort((rb.rawslot_sorted, dest), num_keys=1)
+        gauss_ends = jnp.minimum(rb.cum, k_cap)
+    else:
+        # COMPACT backward working set (see Binned docstring): sort kept
+        # sorted positions by raw slot — dead positions get key k_cap and
+        # sink to the tail — so the sorted values enumerate the kept
+        # instances in gaussian-grouped (raw) order directly; the first
+        # k_pad rows are the whole backward working set (~the satcull keep
+        # ratio of k_cap). Carrying gidx as a 3rd operand makes the
+        # per-Gaussian compact ranges nearly free.
+        raw_masked = jnp.where(landed, rb.rawslot_sorted, k_cap)
+        _, dest_c, gidx_c = jax.lax.sort(
+            (raw_masked, dest, rb.gidx_sorted), num_keys=1)
+        order = dest_c[:k_pad]
+        gidx_c = gidx_c[:k_pad]
+        n_kept = jnp.sum(landed.astype(jnp.int32))
+        # Per-Gaussian exclusive ends in compact coords: scatter (c + 1) at
+        # gidx_c[c] for each run boundary inside the kept region (gidx_c is
+        # nondecreasing there), then cummax fills Gaussians with no kept
+        # rows with the previous end. Boundary targets are strictly
+        # increasing and the dead tail routes out of bounds AFTER them, so
+        # the scatter hints hold.
+        c = jnp.arange(k_pad, dtype=jnp.int32)
+        nxt = jnp.concatenate([gidx_c[1:], gidx_c[-1:]])
+        is_boundary = (c + 1 >= n_kept) | (nxt != gidx_c)
+        tgt = jnp.where(is_boundary & (c < n_kept), gidx_c, n + 1)
+        z = jnp.zeros((n,), jnp.int32).at[tgt].max(
+            c + 1, mode="drop", unique_indices=True, indices_are_sorted=True)
+        gauss_ends = jax.lax.cummax(z)
 
     return Binned(
         gidx=gidx_padded,
@@ -652,5 +722,5 @@ def bin_gaussians(
         num_instances=num_kept,
         num_dropped=num_dropped,
         order=order,
-        gauss_ends=jnp.minimum(rb.cum, k_cap),
+        gauss_ends=gauss_ends,
     )

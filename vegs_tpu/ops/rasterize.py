@@ -57,6 +57,14 @@ class RasterizeConfig(NamedTuple):
     #                            (binning.J_CAP): "auto" = on up to the
     #                            measured TPU crossover (binning.
     #                            COMPACT_MAX_N); True/False force it
+    sat_cull: object = "auto"  # saturation prepass (ops/satcull.py): clip
+    #                            each tile's instance stream to its
+    #                            provably-contributing prefix BEFORE the
+    #                            padded relayout, so relayout/gather/blend/
+    #                            backward all run at the compacted size.
+    #                            Lossless w.r.t. the blend spec. "auto" =
+    #                            on for the pallas backend; dense (golden)
+    #                            keeps the full stream.
 
 
 def _blocked_cumsum(x: jax.Array, block: int = 512) -> jax.Array:
@@ -308,19 +316,45 @@ def rasterize(
     pay_f32, pay_aux = build_payload(proj, quat_n, scale_eff, aux_dtype)
 
     backend = _resolve_backend(config.backend)
+    sat_on = (backend == "pallas"
+              and (config.sat_cull if config.sat_cull != "auto" else True))
+    m2d_sg = jax.lax.stop_gradient(proj.means2d)
+    dep_sg = jax.lax.stop_gradient(proj.depths)
+    con_sg = jax.lax.stop_gradient(proj.conics)
+    op_sg = jax.lax.stop_gradient(proj.opacities)
+    compact = (None if config.cull_compact == "auto"
+               else bool(config.cull_compact))
+    if sat_on:
+        from . import satcull
+
+        rb = binning.bin_raw(
+            m2d_sg, dep_sg, proj.radii_xy, grid, config.k_cap,
+            conics=con_sg, opacities=op_sg,
+            want_rawslot=not config.forward_only, compact=compact)
+        # Saturation prepass input: the f32 payload rows in sorted order
+        # (stop-gradient — cull decisions are index math, like binning).
+        # gidx for tail slots past num_real may point at junk rows; the
+        # kernel's in-range mask zeroes them before they can matter.
+        pf_sorted = jax.lax.stop_gradient(
+            jnp.pad(pay_f32, ((0, 1), (0, 0))))[rb.gidx_sorted]
+        sat_counts = satcull.satcount(pf_sorted.T, rb.raw_starts, grid)
+    else:
+        rb = None
+        sat_counts = None
     binned = binning.bin_gaussians(
-        jax.lax.stop_gradient(proj.means2d),
-        jax.lax.stop_gradient(proj.depths),
+        m2d_sg,
+        dep_sg,
         proj.radii_xy,
         grid,
         config.k_cap,
-        conics=jax.lax.stop_gradient(proj.conics),
-        opacities=jax.lax.stop_gradient(proj.opacities),
+        conics=con_sg,
+        opacities=op_sg,
         want_keys=(backend == "dense"),
         want_grad_maps=not config.forward_only,
         k_pad=config.k_pad,
-        compact=(None if config.cull_compact == "auto"
-                 else bool(config.cull_compact)),
+        compact=compact,
+        rb=rb,
+        sat_counts=sat_counts,
     )
     # Dummy zero-opacity row at index n absorbs the padding slots (binning's
     # chunk-aligned layout points them at gidx == n). Row gathers hit the
