@@ -110,11 +110,20 @@ def measure(n_gaussians: int) -> float:
     # production n-gated default, binning.COMPACT_MAX_N)
     _ce = os.environ.get("VEGS_COMPACT", "auto")
     _compact = None if _ce == "auto" else (_ce != "0")
-    # VEGS_SATCULL: "0" disables the saturation prepass A/B-wise.
-    _sat_on = os.environ.get("VEGS_SATCULL", "1") != "0"
     _rb = _binning.bin_raw(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
         conics=_proj.conics, opacities=_proj.opacities, compact=_compact)
+    # VEGS_SATCULL: "1"/"0" force the saturation prepass; unset = the
+    # library's auto gate (deep mean instance depth only — at 500k nothing
+    # saturates and the prepass is pure overhead, measured).
+    from vegs_tpu.ops.rasterize import SAT_MIN_SLOTS_PER_TILE
+    _se = os.environ.get("VEGS_SATCULL", "auto")
+    _k_raw_est = min(probe_cap, (int(int(_rb.total) * 1.05) + 511)
+                     // 512 * 512)
+    if _se == "auto":
+        _sat_on = _k_raw_est >= SAT_MIN_SLOTS_PER_TILE * _grid.num_tiles
+    else:
+        _sat_on = _se != "0"
     if _sat_on:
         # k_pad is sized by the SATCULLED padded need — the saturation
         # prepass clips each tile to its contributing prefix, so the padded

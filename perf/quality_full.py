@@ -58,7 +58,8 @@ class _Box:
         self.box2world = m
 
 
-def build_scene_info(rng, h=None, w=None, n_cams=None, noise_t=None):
+def build_scene_info(rng, h=None, w=None, n_cams=None, noise_t=None,
+                     stereo_baseline=0.0):
     from vegs_tpu.scene import dataset_readers as dr
     from vegs_tpu.utils import synthetic as syn
 
@@ -68,7 +69,8 @@ def build_scene_info(rng, h=None, w=None, n_cams=None, noise_t=None):
     noise_t = BOX_NOISE_T if noise_t is None else noise_t
 
     infos = syn.street_camera_infos(
-        n_cams, h, w, moving_box=True, render_normal=True)
+        n_cams, h, w, moving_box=True, render_normal=True,
+        stereo_baseline=stereo_baseline)
     train_infos = [c for i, c in enumerate(infos) if i % 8 != 0]
     test_infos = [c for i, c in enumerate(infos) if i % 8 == 0]
 

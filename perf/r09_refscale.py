@@ -76,22 +76,33 @@ def build_scene():
 
 
 def size_caps(cam, means, quats, scales, opac, shs, tile_h, tile_w,
-              compact=None):
+              compact=None, sat=True):
+    from vegs_tpu.ops import satcull
+    from vegs_tpu.ops.rasterize import build_payload
+
     probe_cap = (1 << 23) - 512
     grid = binning.TileGrid.for_image(H, W, tile_h, tile_w)
     cov6 = geometry.cov6_from_scaling_rotation(scales, quats)
     proj = project(means, cov6, opac, shs, cam)
-    pb = binning.bin_gaussians(
-        proj.means2d, proj.depths, proj.radii_xy, grid, probe_cap,
-        conics=proj.conics, opacities=proj.opacities, compact=compact)
     rb = binning.bin_raw(
         proj.means2d, proj.depths, proj.radii_xy, grid, probe_cap,
         conics=proj.conics, opacities=proj.opacities, compact=compact)
+    sat_counts = None
+    if sat:
+        qn = geometry.quat_standardize(geometry.quat_normalize(quats))
+        pf, _ = build_payload(proj, qn, scales, jnp.bfloat16)
+        pf_sorted = jnp.pad(pf, ((0, 1), (0, 0)))[rb.gidx_sorted]
+        sat_counts = satcull.satcount(pf_sorted.T, rb.raw_starts, grid)
+    pb = binning.bin_gaussians(
+        proj.means2d, proj.depths, proj.radii_xy, grid, probe_cap,
+        conics=proj.conics, opacities=proj.opacities, compact=compact,
+        rb=rb, sat_counts=sat_counts)
     r512 = lambda v: (int(v * 1.05) + 511) // 512 * 512
     k_cap = min(probe_cap, r512(int(rb.total)))
     k_pad = min(probe_cap, r512(int(pb.tile_starts[-1])))
-    print(f"# tiles {tile_h}x{tile_w}: raw need {int(rb.total)} -> {k_cap}, "
-          f"padded need {int(pb.tile_starts[-1])} -> {k_pad}", flush=True)
+    print(f"# tiles {tile_h}x{tile_w} sat={sat}: raw need {int(rb.total)} "
+          f"-> {k_cap}, padded need {int(pb.tile_starts[-1])} -> {k_pad}",
+          flush=True)
     return grid, k_cap, k_pad
 
 
@@ -100,13 +111,14 @@ def main():
     bg = jnp.zeros(3)
     args0 = (means, quats, scales, opac, shs)
 
-    tiles = os.environ.get("VEGS_R09_TILES", "16x16,16x32")
+    tiles = os.environ.get("VEGS_R09_TILES", "16x16")
+    sat_on = os.environ.get("VEGS_R09_SAT", "1") != "0"
     for spec in tiles.split(","):
         th, tw = (int(x) for x in spec.split("x"))
         grid, k_cap, k_pad = size_caps(cam, means, quats, scales, opac, shs,
-                                       th, tw)
+                                       th, tw, sat=sat_on)
         cfg = RasterizeConfig(backend="pallas", k_cap=k_cap, k_pad=k_pad,
-                              tile_h=th, tile_w=tw)
+                              tile_h=th, tile_w=tw, sat_cull=sat_on)
 
         def full_fb(args, acc, cfg=cfg):
             m, q, s, o, sh = args
@@ -127,8 +139,9 @@ def main():
 
     # ---- fine-grained stages at the default 16x16 shape ------------------
     grid, k_cap, k_pad = size_caps(cam, means, quats, scales, opac, shs,
-                                   16, 16)
-    cfg = RasterizeConfig(backend="pallas", k_cap=k_cap, k_pad=k_pad)
+                                   16, 16, sat=sat_on)
+    cfg = RasterizeConfig(backend="pallas", k_cap=k_cap, k_pad=k_pad,
+                          sat_cull=sat_on)
 
     cov6 = geometry.cov6_from_scaling_rotation(scales, quats)
 
@@ -177,10 +190,39 @@ def main():
     timeit(f"lax.sort 3-operand at k={k_cap}", sort3,
            (jnp.asarray(keys), jnp.asarray(vals)))
 
-    # ---- gather_expand isolated ------------------------------------------
+    # ---- satcull prepass isolated ----------------------------------------
+    from vegs_tpu.ops import satcull as _sc
+
+    rb0 = binning.bin_raw(p.means2d, p.depths, p.radii_xy, grid, k_cap,
+                          conics=p.conics, opacities=p.opacities)
+    quat_n0 = geometry.quat_standardize(geometry.quat_normalize(quats))
+    pay_f32_0, _ = build_payload(p, quat_n0, scales, jnp.bfloat16)
+    pf_pad0 = jnp.pad(pay_f32_0, ((0, 1), (0, 0)))
+
+    def prepass_gather(args, acc):
+        (pf,) = args
+        g = dep(pf, acc)[rb0.gidx_sorted]
+        return args, jnp.sum(g) * 1e-9
+    timeit("satcull prepass gather [k_cap, 8]", prepass_gather, (pf_pad0,))
+
+    pf_sorted0 = pf_pad0[rb0.gidx_sorted]
+
+    def satcount_only(args, acc):
+        (pfs,) = args
+        c = _sc.satcount(dep(pfs, acc).T, rb0.raw_starts, grid)
+        return args, jnp.sum(c).astype(jnp.float32) * 1e-6
+    timeit("satcount kernel", satcount_only, (pf_sorted0,))
+
+    sat0 = _sc.satcount(pf_sorted0.T, rb0.raw_starts, grid)
+    print(f"# satcull keeps {int(jnp.sum(jnp.minimum(sat0, rb0.raw_starts[1:] - rb0.raw_starts[:-1])))} "
+          f"of {int(rb0.num_real)} real instances", flush=True)
+
+    # ---- gather_expand isolated (satcull binning when sat_on) ------------
     binned = binning.bin_gaussians(p.means2d, p.depths, p.radii_xy, grid,
                                    k_cap, conics=p.conics,
-                                   opacities=p.opacities, k_pad=k_pad)
+                                   opacities=p.opacities, k_pad=k_pad,
+                                   rb=rb0 if sat_on else None,
+                                   sat_counts=sat0 if sat_on else None)
     quat_n = geometry.quat_standardize(geometry.quat_normalize(quats))
     pay_f32, pay_aux = build_payload(p, quat_n, scales, jnp.bfloat16)
     pf_pad = jnp.pad(pay_f32, ((0, 1), (0, 0)))

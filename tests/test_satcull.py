@@ -143,6 +143,31 @@ def test_satcull_compact_backward_exact():
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(sa))
 
 
+def test_satcull_with_kpad_exceeding_kcap():
+    """k_pad > k_cap happens at real scales (per-tile padding exceeds the
+    cull slack); the compact working set must bound by BOTH capacities."""
+    cam, means, quats, scales, opac, shs = _scene(seed=5)
+    bg = jnp.zeros(3)
+    cfg_on = RasterizeConfig(backend="pallas", k_cap=K, k_pad=2 * K,
+                             payload_dtype="f32", sat_cull=True)
+    cfg_off = RasterizeConfig(backend="pallas", k_cap=K, k_pad=2 * K,
+                              payload_dtype="f32", sat_cull=False)
+
+    def f(cfg):
+        def loss(m):
+            out = rasterize(m, quats, scales, opac, shs, cam, bg=bg,
+                            config=cfg)
+            return jnp.mean(out.rgb ** 2), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(means)
+        return l, out, g
+
+    l1, out1, g1 = f(cfg_on)
+    l0, out0, g0 = f(cfg_off)
+    np.testing.assert_array_equal(np.asarray(out1.rgb), np.asarray(out0.rgb))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=0, atol=1e-5)
+
+
 def test_satcull_matches_dense_golden():
     cam, means, quats, scales, opac, shs = _scene(seed=3)
     bg = jnp.asarray([0.3, 0.1, 0.0])

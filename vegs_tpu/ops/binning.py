@@ -698,8 +698,13 @@ def bin_gaussians(
         raw_masked = jnp.where(landed, rb.rawslot_sorted, k_cap)
         _, dest_c, gidx_c = jax.lax.sort(
             (raw_masked, dest, rb.gidx_sorted), num_keys=1)
-        order = dest_c[:k_pad]
-        gidx_c = gidx_c[:k_pad]
+        # compact capacity: kept rows <= num_real <= k_cap AND <= the padded
+        # capacity; k_pad can exceed k_cap (per-tile padding > cull slack at
+        # some scales), so bound by both. The dead marker stays k_pad (the
+        # cotangent table's row count) regardless.
+        kr2 = min(k_pad, k_cap)
+        order = dest_c[:kr2]
+        gidx_c = gidx_c[:kr2]
         n_kept = jnp.sum(landed.astype(jnp.int32))
         # Per-Gaussian exclusive ends in compact coords: scatter (c + 1) at
         # gidx_c[c] for each run boundary inside the kept region (gidx_c is
@@ -707,7 +712,7 @@ def bin_gaussians(
         # rows with the previous end. Boundary targets are strictly
         # increasing and the dead tail routes out of bounds AFTER them, so
         # the scatter hints hold.
-        c = jnp.arange(k_pad, dtype=jnp.int32)
+        c = jnp.arange(kr2, dtype=jnp.int32)
         nxt = jnp.concatenate([gidx_c[1:], gidx_c[-1:]])
         is_boundary = (c + 1 >= n_kept) | (nxt != gidx_c)
         tgt = jnp.where(is_boundary & (c < n_kept), gidx_c, n + 1)

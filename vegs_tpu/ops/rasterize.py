@@ -35,6 +35,13 @@ from .projection import CameraParams, Projected, project
 F32_COLS = 8   # mx, my, conic_a, conic_b, conic_c, opacity, depth, (pad)
 AUX_COLS = 16  # r, g, b, qw, qx, qy, qz, sx, sy, sz, (pad x6)
 
+# sat_cull="auto" gate: enable the saturation prepass once the mean
+# instance depth (k_cap / num_tiles = superchunks x PAD_ALIGN per tile)
+# is deep enough that per-tile saturated suffixes exist at superchunk
+# granularity. Measured on the bench scene family: 458 slots/tile (500k)
+# -> 0% cullable; 2300 slots/tile (2.23M) -> ~80% cullable.
+SAT_MIN_SLOTS_PER_TILE = 1024
+
 
 class RasterizeConfig(NamedTuple):
     tile_h: int = 16
@@ -63,8 +70,13 @@ class RasterizeConfig(NamedTuple):
     #                            padded relayout, so relayout/gather/blend/
     #                            backward all run at the compacted size.
     #                            Lossless w.r.t. the blend spec. "auto" =
-    #                            on for the pallas backend; dense (golden)
-    #                            keeps the full stream.
+    #                            on for the pallas backend when the mean
+    #                            instance depth reaches SAT_MIN_SLOTS_PER_
+    #                            TILE (at the 500k bench nothing saturates
+    #                            — 0% cullable, measured — so the prepass
+    #                            would be pure overhead; at 2.23M it culls
+    #                            ~80%); dense (golden) keeps the full
+    #                            stream. True/False force it.
 
 
 def _blocked_cumsum(x: jax.Array, block: int = 512) -> jax.Array:
@@ -252,7 +264,11 @@ class RasterOut(NamedTuple):
     means2d: jax.Array    # [N, 2] pixel coords (for densify-stat gradients)
     num_dropped: jax.Array  # scalar int32 — instances dropped at k_cap
     num_needed: jax.Array   # scalar int32 — padded-layout slots actually
-    #                         used (tile_starts[-1]); k_cap decay signal
+    #                         used (tile_starts[-1]); k_pad decay signal
+    num_needed_raw: jax.Array  # scalar int32 — raw-stream requirement
+    #                         (pre-cull instance total); k_cap decay signal.
+    #                         With sat_cull the padded need is ~5x smaller
+    #                         than this, so the two caps adapt separately.
 
 
 def _resolve_backend(backend: str) -> str:
@@ -316,21 +332,23 @@ def rasterize(
     pay_f32, pay_aux = build_payload(proj, quat_n, scale_eff, aux_dtype)
 
     backend = _resolve_backend(config.backend)
+    sat_auto = config.k_cap >= SAT_MIN_SLOTS_PER_TILE * grid.num_tiles
     sat_on = (backend == "pallas"
-              and (config.sat_cull if config.sat_cull != "auto" else True))
+              and (config.sat_cull if config.sat_cull != "auto"
+                   else sat_auto))
     m2d_sg = jax.lax.stop_gradient(proj.means2d)
     dep_sg = jax.lax.stop_gradient(proj.depths)
     con_sg = jax.lax.stop_gradient(proj.conics)
     op_sg = jax.lax.stop_gradient(proj.opacities)
     compact = (None if config.cull_compact == "auto"
                else bool(config.cull_compact))
+    rb = binning.bin_raw(
+        m2d_sg, dep_sg, proj.radii_xy, grid, config.k_cap,
+        conics=con_sg, opacities=op_sg,
+        want_rawslot=not config.forward_only, compact=compact)
     if sat_on:
         from . import satcull
 
-        rb = binning.bin_raw(
-            m2d_sg, dep_sg, proj.radii_xy, grid, config.k_cap,
-            conics=con_sg, opacities=op_sg,
-            want_rawslot=not config.forward_only, compact=compact)
         # Saturation prepass input: the f32 payload rows in sorted order
         # (stop-gradient — cull decisions are index math, like binning).
         # gidx for tail slots past num_real may point at junk rows; the
@@ -339,7 +357,6 @@ def rasterize(
             jnp.pad(pay_f32, ((0, 1), (0, 0))))[rb.gidx_sorted]
         sat_counts = satcull.satcount(pf_sorted.T, rb.raw_starts, grid)
     else:
-        rb = None
         sat_counts = None
     binned = binning.bin_gaussians(
         m2d_sg,
@@ -407,4 +424,5 @@ def rasterize(
         means2d=proj.means2d,
         num_dropped=binned.num_dropped,
         num_needed=binned.tile_starts[-1],
+        num_needed_raw=rb.total,
     )

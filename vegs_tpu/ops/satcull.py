@@ -62,7 +62,7 @@ def _pixel_monomials(tile_h: int, tile_w: int) -> jax.Array:
     return jnp.concatenate([one, x, y, x * x, y * y, x * y], axis=1)
 
 
-def _satcount_kernel(starts_ref, pf_hbm, out_ref, buf, counts_scratch, sems,
+def _satcount_kernel(starts_ref, pf_hbm, out_ref, buf, sems,
                      *, ntx: int, tile_h: int, tile_w: int):
     """Grid (nty, ntx / TILES_PER_PROG); each program walks 8 tiles' raw
     ranges in 256-aligned windows and writes per-tile kept counts."""
@@ -162,11 +162,10 @@ def _satcount_kernel(starts_ref, pf_hbm, out_ref, buf, counts_scratch, sems,
         # Kept = every instance through the exit superchunk (clamped to the
         # tile's range). Exit-at-nsc (never fully crossed) keeps everything.
         kept = jnp.clip(w0 + sc_e * PAD_ALIGN - start, 0, end - start)
-        counts_scratch[0, jt] = kept
+        out_ref[tile_id] = kept  # SMEM scalar store: no lane alignment
         return 0
 
     jax.lax.fori_loop(0, TILES_PER_PROG, tile_body, 0)
-    out_ref[...] = counts_scratch[...]
 
 
 def satcount(pf_cm: jax.Array, raw_starts: jax.Array, grid: TileGrid
@@ -189,19 +188,16 @@ def satcount(pf_cm: jax.Array, raw_starts: jax.Array, grid: TileGrid
             num_scalar_prefetch=1,
             grid=(nty, njg),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(
-                (1, TILES_PER_PROG), lambda i, j, *refs: (i, j),
-                memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, 8, PAD_ALIGN), jnp.float32),
-                pltpu.VMEM((1, TILES_PER_PROG), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nty, grid.ntx), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((grid.num_tiles,), jnp.int32),
         interpret=jax.default_backend() != "tpu",
     )(raw_starts, pf_cm)
-    return out.reshape(grid.num_tiles)
+    return out
 
 
 def satcount_np(pf_cm, raw_starts, grid: TileGrid) -> np.ndarray:

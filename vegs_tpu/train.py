@@ -225,7 +225,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
             g_loss = guidance(extras["gkey"], crop, state.step)
             loss = loss + g_loss
         aux = (out.radii, ll1, nloss, out.num_dropped, out.num_needed,
-               g_loss, p_loss)
+               out.num_needed_raw, g_loss, p_loss)
         return loss, aux
 
     axis = None if mesh is None else mesh_lib.DATA_AXIS
@@ -253,7 +253,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
             active_sh_degree, bg, m2d_offset, extras,
         )
         g_static, g_box, g_delta, g_m2d = grads
-        radii, ll1, nloss, ndrop, nneed, g_loss, p_loss = aux
+        radii, ll1, nloss, ndrop, nneed, nneed_raw, g_loss, p_loss = aux
 
         # Extra gradient contributions (diffusion-guidance window): summing
         # gradients before the optimizer step is equivalent to the reference's
@@ -272,6 +272,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
                                 _psum_mean(nloss))
             ndrop = jax.lax.pmax(ndrop, axis)
             nneed = jax.lax.pmax(nneed, axis)
+            nneed_raw = jax.lax.pmax(nneed_raw, axis)
 
         # -- static Adam + densify stats ---------------------------------
         lrs = optim.field_lrs(opt_cfg, spatial_scale, state.step)
@@ -354,6 +355,7 @@ def make_train_step(opt_cfg, raster_cfg: RasterizeConfig, spatial_scale: float,
         metrics = {
             "loss": loss, "l1": ll1, "normal_loss": nloss,
             "num_dropped": ndrop, "num_needed": nneed,
+            "num_needed_raw": nneed_raw,
         }
         if guidance is not None:
             metrics["guidance_loss"] = g_loss
@@ -550,7 +552,7 @@ class Trainer:
         in_step = self.mesh is None
         perc = in_step and self._vgg_params is not None
         key = (n_slots, static_cap, box_cap, self.raster_cfg.k_cap,
-               self.dp_devices, guide, perc)
+               self.raster_cfg.k_pad, self.dp_devices, guide, perc)
         if key not in self._step_cache:
             cfg = self.cfg
             self._step_cache[key] = make_train_step(
@@ -570,8 +572,8 @@ class Trainer:
     def _get_pooled_step_fn(self, n_slots: int, static_cap: int, box_cap: int,
                             guide: bool = False):
         key = ("pooled", n_slots, static_cap, box_cap,
-               len(self._pool_insts), self.raster_cfg.k_cap, self.dp_devices,
-               guide)
+               len(self._pool_insts), self.raster_cfg.k_cap,
+               self.raster_cfg.k_pad, self.dp_devices, guide)
         if key not in self._step_cache:
             self._step_cache[key] = make_pooled_step(
                 self._get_step_fn(n_slots, static_cap, box_cap, guide),
@@ -658,26 +660,38 @@ class Trainer:
     K_CAP_MIN = 1 << 15            # never shrink below 32k slots
     K_CAP_DECAY_WINDOW = 200       # steps of <25% utilization before halving
 
-    def _adapt_k_cap(self, num_dropped: float, num_needed: float = 0.0) -> None:
-        """Dynamic tile-instance capacity: every rasterizer stage is O(k_cap)
-        (sorts, gathers, segment reductions all run at the static capacity),
-        so track overflow and grow the bucket by 2x when instances are being
-        dropped — and SHRINK it by 2x when the running max of actually-needed
-        slots (binning's padded layout requirement) stays under 25% of the
-        bucket for K_CAP_DECAY_WINDOW consecutive steps (a transient dense
-        frame no longer taxes every later sort/gather forever; round-2
-        verdict weak item 5). A retrace per bucket change is amortized over
-        hundreds-to-thousands of steps either way."""
+    def _adapt_k_cap(self, num_dropped: float, num_needed: float = 0.0,
+                     num_needed_raw: float = 0.0) -> None:
+        """Dynamic tile-instance capacities: every rasterizer stage is O(cap)
+        (sorts, gathers, segment reductions all run at static capacity), so
+        track overflow and grow the bucket by 2x when instances are being
+        dropped — and SHRINK by 2x when the running max of actually-needed
+        slots stays under 25% of the bucket for K_CAP_DECAY_WINDOW
+        consecutive steps (a transient dense frame no longer taxes every
+        later sort/gather forever; round-2 verdict weak item 5).
+
+        TWO capacities adapt independently since the saturation prepass
+        (ops/satcull.py): k_cap tracks the RAW-stream requirement
+        (num_needed_raw = pre-cull instance total) and k_pad the PADDED
+        layout (num_needed = satculled tile_starts[-1], typically ~5x
+        smaller). Decaying k_cap on the padded signal would oscillate:
+        halve -> raw drop -> regrow. A retrace per bucket change is
+        amortized over hundreds-to-thousands of steps either way."""
+        if num_needed_raw <= 0:
+            num_needed_raw = num_needed  # pre-satcull callers / old metrics
         if num_dropped > 0:
+            k_pad = self.raster_cfg.k_pad or self.raster_cfg.k_cap
             self.raster_cfg = self.raster_cfg._replace(
-                k_cap=self.raster_cfg.k_cap * 2)
+                k_cap=self.raster_cfg.k_cap * 2, k_pad=k_pad * 2)
             self._guidance_fn = None  # rebuilt with the new capacity
             self._percep_fn = None
             self._kcap_low_streak = 0
+            self._kpad_low_streak = 0
             return
-        # The streak counts CONSECUTIVE frames under 25% utilization, so the
+        # The streaks count CONSECUTIVE frames under 25% utilization, so the
         # window's running max is below the threshold by construction.
-        if num_needed > 0 and num_needed < 0.25 * self.raster_cfg.k_cap:
+        changed = False
+        if num_needed_raw > 0 and num_needed_raw < 0.25 * self.raster_cfg.k_cap:
             self._kcap_low_streak = getattr(self, "_kcap_low_streak", 0) + 1
         else:
             self._kcap_low_streak = 0
@@ -685,9 +699,21 @@ class Trainer:
                 and self.raster_cfg.k_cap // 2 >= self.K_CAP_MIN):
             self.raster_cfg = self.raster_cfg._replace(
                 k_cap=self.raster_cfg.k_cap // 2)
+            self._kcap_low_streak = 0
+            changed = True
+        k_pad = self.raster_cfg.k_pad or self.raster_cfg.k_cap
+        if num_needed > 0 and num_needed < 0.25 * k_pad:
+            self._kpad_low_streak = getattr(self, "_kpad_low_streak", 0) + 1
+        else:
+            self._kpad_low_streak = 0
+        if (self._kpad_low_streak >= self.K_CAP_DECAY_WINDOW
+                and k_pad // 2 >= self.K_CAP_MIN):
+            self.raster_cfg = self.raster_cfg._replace(k_pad=k_pad // 2)
+            self._kpad_low_streak = 0
+            changed = True
+        if changed:
             self._guidance_fn = None
             self._percep_fn = None
-            self._kcap_low_streak = 0
 
     def _perceptual_extra(self, cam_params, gt):
         """Extra gradients from the VGG perceptual term (cfg.sd.perceptual_loss;
@@ -768,7 +794,8 @@ class Trainer:
                 jnp.int32(self._active_sh_degree(it)), self.bg, None, extras)
 
         self._adapt_k_cap(float(metrics.get("num_dropped", 0.0)),
-                          float(metrics.get("num_needed", 0.0)))
+                          float(metrics.get("num_needed", 0.0)),
+                          float(metrics.get("num_needed_raw", 0.0)))
 
         # write back per-(frame,instance) deltas (small; fields/opt/stats
         # stay resident in the pool)
@@ -905,7 +932,8 @@ class Trainer:
         if g_p is not None:
             metrics = {**metrics, "perceptual_loss": p_loss}
         self._adapt_k_cap(float(metrics.get("num_dropped", 0.0)),
-                          float(metrics.get("num_needed", 0.0)))
+                          float(metrics.get("num_needed", 0.0)),
+                          float(metrics.get("num_needed_raw", 0.0)))
 
         if n_slots:
             for (d, si), k in dkeys.items():

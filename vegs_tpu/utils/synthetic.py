@@ -233,36 +233,49 @@ def mover_canonical_points(rng, n=420, noise=0.02):
 
 def street_camera_infos(n: int, H: int, W: int, fovx=1.2, fovy=0.7,
                         render_gt=True, moving_box=False,
-                        render_normal=False):
+                        render_normal=False, stereo_baseline=0.0):
     """Forward-facing camera arc (KITTI-like ego motion with slight yaw),
     as CameraInfo records with ray-traced ground-truth images.
 
     `moving_box=True` composites the mover (`mover_box`) into each frame's
     GT; `render_normal=True` attaches camera-space GT normal maps (the
-    synthetic omnidata prior) to each CameraInfo."""
+    synthetic omnidata prior) to each CameraInfo. `stereo_baseline > 0`
+    emits TWO cameras per frame offset +-baseline/2 along the camera x
+    axis — the reference's canonical KITTI-360 data is stereo
+    (/root/reference/scene/dataset_readers.py:218-300, image_00/image_01),
+    which is exactly the extra constraint per-frame box deltas need."""
     from ..scene.dataset_readers import CameraInfo, fov2focal
 
     infos = []
+    uid = 0
     for i in range(n):
         zc = -2.5 + 2.5 * i / max(n - 1, 1)
         yaw = 0.12 * np.sin(2 * np.pi * i / max(n, 1))
         cy, sy = np.cos(yaw), np.sin(yaw)
         Rw2c = np.array([[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]])
-        C = np.array([0.25 * np.sin(i * 1.7), 0.0, zc])
-        T = -Rw2c @ C
+        C0 = np.array([0.25 * np.sin(i * 1.7), 0.0, zc])
         K = np.array([
             [fov2focal(fovx, W), 0, W / 2],
             [0, fov2focal(fovy, H), H / 2],
             [0, 0, 1.0],
         ])
-        img, nrm = None, None
-        if render_gt:
-            extra = [mover_box(i, n)] if moving_box else []
-            out = raytrace(Rw2c.T, T, H, W, fovx, fovy, extra_boxes=extra,
-                           return_normal=render_normal)
-            img, nrm = out if render_normal else (out, None)
-        infos.append(CameraInfo(
-            uid=i, R=Rw2c.T, T=T, FovX=fovx, FovY=fovy, K=K,
-            image=img, image_path="", image_name=f"street_{i:03d}",
-            normal=nrm, normal_path="", width=W, height=H, frame=i))
+        eyes = ([0.0] if stereo_baseline <= 0
+                else [-stereo_baseline / 2, stereo_baseline / 2])
+        for ei, dx in enumerate(eyes):
+            C = C0 + Rw2c[0] * dx          # offset along the camera x axis
+            T = -Rw2c @ C
+            img, nrm = None, None
+            if render_gt:
+                extra = [mover_box(i, n)] if moving_box else []
+                out = raytrace(Rw2c.T, T, H, W, fovx, fovy,
+                               extra_boxes=extra,
+                               return_normal=render_normal)
+                img, nrm = out if render_normal else (out, None)
+            suffix = f"_{ei}" if stereo_baseline > 0 else ""
+            infos.append(CameraInfo(
+                uid=uid, R=Rw2c.T, T=T, FovX=fovx, FovY=fovy, K=K,
+                image=img, image_path="",
+                image_name=f"street_{i:03d}{suffix}",
+                normal=nrm, normal_path="", width=W, height=H, frame=i))
+            uid += 1
     return infos
