@@ -157,40 +157,57 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
     # bucket d spans sorted positions [bstart[d], bstart[d+1]).
     shard_bounds = jnp.arange(ndev + 1, dtype=jnp.int32) * tiles_loc
     bstart = rb.raw_starts[shard_bounds]                     # [D+1]
-    j = jnp.arange(k_ex, dtype=jnp.int32)
-    idx = bstart[:-1, None] + j[None, :]                     # [D, k_ex]
-    ok = idx < bstart[1:, None]
-    dropped_exch = jnp.sum(
-        jnp.maximum(bstart[1:] - bstart[:-1] - k_ex, 0))
-    # Invalid slots read the appended zero row (keeps the gather's
-    # transpose a unique-index scatter — no cotangent collisions).
-    idx_safe = jnp.where(ok, idx, k_loc).reshape(-1)         # [D*k_ex]
-    keys_b = jnp.where(ok.reshape(-1),
-                       rb.key_sorted[jnp.minimum(idx, k_loc - 1)
-                                     .reshape(-1)], SENTINEL)
-    pf_b = jnp.concatenate([st_pf, jnp.zeros((1, 8), st_pf.dtype)]
-                           )[idx_safe]
-    pa_b = jnp.concatenate([st_pa, jnp.zeros((1, AUX_COLS), st_pa.dtype)]
-                           )[idx_safe]
+    bucket_sizes = bstart[1:] - bstart[:-1]
+    dropped_exch = jnp.sum(jnp.maximum(bucket_sizes - k_ex, 0))
+    # Exchange-capacity signal: the largest (src, dst) bucket anywhere on
+    # the mesh — the smallest lossless k_exch. On a balanced scene this is
+    # ~k_cap/D^2, far below the lossless-default k_loc; callers can size
+    # k_exch by it (SCALING overhead model).
+    needed_exch = jax.lax.pmax(jnp.max(bucket_sizes), TILE_AXIS)
+    if ndev == 1:
+        # Degenerate mesh: the local stream IS the final stream — skip the
+        # bucket gathers, the identity all_to_all, and the receive-side
+        # merge sort (r_total == k_loc, tile_base == 0). This is also what
+        # bounds the sharded path's fixed overhead at D=1 (SCALING model):
+        # what remains vs ops.rasterize is the sorted-order payload
+        # expansion + the carry re-gather into the padded layout.
+        key_sorted = rb.key_sorted
+        recv_sorted = jnp.arange(r_total, dtype=jnp.int32)
+        raw_starts_l = rb.raw_starts
+        pf_r, pa_r = st_pf, st_pa
+    else:
+        j = jnp.arange(k_ex, dtype=jnp.int32)
+        idx = bstart[:-1, None] + j[None, :]                 # [D, k_ex]
+        ok = idx < bstart[1:, None]
+        # Invalid slots read the appended zero row (keeps the gather's
+        # transpose a unique-index scatter — no cotangent collisions).
+        idx_safe = jnp.where(ok, idx, k_loc).reshape(-1)     # [D*k_ex]
+        keys_b = jnp.where(ok.reshape(-1),
+                           rb.key_sorted[jnp.minimum(idx, k_loc - 1)
+                                         .reshape(-1)], SENTINEL)
+        pf_b = jnp.concatenate([st_pf, jnp.zeros((1, 8), st_pf.dtype)]
+                               )[idx_safe]
+        pa_b = jnp.concatenate(
+            [st_pa, jnp.zeros((1, AUX_COLS), st_pa.dtype)])[idx_safe]
 
-    # ---- the exchange: one all_to_all delivers every bucket ----------
-    keys_r = jax.lax.all_to_all(keys_b, TILE_AXIS, 0, 0, tiled=True)
-    pf_r = jax.lax.all_to_all(pf_b, TILE_AXIS, 0, 0, tiled=True)
-    pa_r = jax.lax.all_to_all(pa_b, TILE_AXIS, 0, 0, tiled=True)
+        # ---- the exchange: one all_to_all delivers every bucket ------
+        keys_r = jax.lax.all_to_all(keys_b, TILE_AXIS, 0, 0, tiled=True)
+        pf_r = jax.lax.all_to_all(pf_b, TILE_AXIS, 0, 0, tiled=True)
+        pa_r = jax.lax.all_to_all(pa_b, TILE_AXIS, 0, 0, tiled=True)
 
-    # ---- local back end: merge-sort received runs, relayout, blend ---
-    me = jax.lax.axis_index(TILE_AXIS)
-    tile_base = (me * tiles_loc).astype(jnp.int32)
-    key_loc = jnp.where(
-        keys_r == SENTINEL, SENTINEL,
-        keys_r - jax.lax.shift_left(tile_base, grid.tile_shift))
-    recv_iota = jnp.arange(r_total, dtype=jnp.int32)
-    key_sorted, recv_sorted = jax.lax.sort(
-        (key_loc, recv_iota), num_keys=1)
-    queries = jax.lax.shift_left(
-        jnp.arange(tiles_loc + 1, dtype=jnp.int32), grid.tile_shift)
-    raw_starts_l = jnp.searchsorted(
-        key_sorted, queries, side="left").astype(jnp.int32)
+        # ---- local back end: merge-sort received runs ----------------
+        me = jax.lax.axis_index(TILE_AXIS)
+        tile_base = (me * tiles_loc).astype(jnp.int32)
+        key_loc = jnp.where(
+            keys_r == SENTINEL, SENTINEL,
+            keys_r - jax.lax.shift_left(tile_base, grid.tile_shift))
+        recv_iota = jnp.arange(r_total, dtype=jnp.int32)
+        key_sorted, recv_sorted = jax.lax.sort(
+            (key_loc, recv_iota), num_keys=1)
+        queries = jax.lax.shift_left(
+            jnp.arange(tiles_loc + 1, dtype=jnp.int32), grid.tile_shift)
+        raw_starts_l = jnp.searchsorted(
+            key_sorted, queries, side="left").astype(jnp.int32)
     carry, keys_pad, tile_starts, _ = binning.pad_relayout(
         key_sorted, recv_sorted, raw_starts_l, tiles_loc, k_blend,
         dummy=r_total, want_keys=(config.backend == "dense"))
@@ -226,7 +243,7 @@ def tile_render_local(plan: TilePlan, cam: CameraParams,
     # adapter sees INT32_MAX (still "grow") instead of a negative number.
     needed = jnp.minimum(jax.lax.pmax(rb.total, TILE_AXIS),
                          (2**31 - 1) // max(ndev, 1)) * ndev
-    return out, proj, (dropped, needed)
+    return out, proj, (dropped, needed, needed_exch)
 
 
 def make_tile_sharded_rasterize(mesh, cam: CameraParams,
@@ -247,7 +264,7 @@ def make_tile_sharded_rasterize(mesh, cam: CameraParams,
     plan = make_tile_plan(ndev, cam, config, k_exch)
 
     def body(means, quats, scales, opac, shs, valid, bg):
-        out, _, (dropped, _) = tile_render_local(
+        out, _, (dropped, _, _) = tile_render_local(
             plan, cam, config, sh_degree,
             means, quats, scales, opac, shs, valid)
         t_fin = out[blend_ref.N_ACCUM]

@@ -165,7 +165,7 @@ def make_tp_train_step(
                      active_sh_degree, bg):
         params = optim.split_params(field)
         m2d = jnp.zeros((field.capacity, 2), jnp.float32)  # local rows
-        (_, (radii, ll1, loss, (dropped, needed))), (g_params, g_m2d) = (
+        (_, (radii, ll1, loss, (dropped, needed, needed_ex))), (g_params, g_m2d) = (
             jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
             (params, field, m2d, cam, gt, normal, active_sh_degree, bg))
 
@@ -178,7 +178,7 @@ def make_tp_train_step(
             g_m2d, radii, H, W)
         new_stats = densify.apply_stats(stats, norm_c, vis_c, rad_c)
         metrics = {"loss": loss, "l1": ll1, "num_dropped": dropped,
-                   "num_needed": needed}
+                   "num_needed": needed, "num_needed_exch": needed_ex}
         return new_field, new_opt, new_stats, step + 1, metrics
 
     field_spec = GaussianField(
@@ -272,7 +272,7 @@ def make_dp_tp_train_step(
 
         params = optim.split_params(field)
         m2d = jnp.zeros((field.capacity, 2), jnp.float32)
-        (_, (radii, ll1, loss, (dropped, needed))), (g_params, g_m2d) = (
+        (_, (radii, ll1, loss, (dropped, needed, needed_ex))), (g_params, g_m2d) = (
             jax.value_and_grad(local_loss, argnums=(0, 2), has_aux=True)
             (params, field, m2d, cam_d, gt, normal, active_sh_degree, bg))
 
@@ -294,7 +294,8 @@ def make_dp_tp_train_step(
             jax.lax.psum(vis_c, "data"), jax.lax.pmax(rad_c, "data"))
         metrics = {"loss": loss, "l1": ll1,
                    "num_dropped": jax.lax.pmax(dropped, "data"),
-                   "num_needed": jax.lax.pmax(needed, "data")}
+                   "num_needed": jax.lax.pmax(needed, "data"),
+                   "num_needed_exch": jax.lax.pmax(needed_ex, "data")}
         return new_field, new_opt, new_stats, step + 1, metrics
 
     row = P(TILE_AXIS)
@@ -472,7 +473,7 @@ def make_tp_full_train_step(
             box2worlds, active, m2d, cam, gt, normal, normal_valid,
             active_sh_degree, bg, step, extras)
         g_static, g_box, g_delta, g_m2d = grads
-        radii, ll1, nloss, loss, (dropped, needed), g_loss, p_loss = aux
+        radii, ll1, nloss, loss, (dropped, needed, needed_ex), g_loss, p_loss = aux
 
         # Deltas are replicated: psum restores the full gradient (render
         # contributions land on the owning shard; the regularizer
@@ -520,7 +521,8 @@ def make_tp_full_train_step(
         new_deltas = BoxDeltas(**nd2)
 
         metrics = {"loss": loss, "l1": ll1, "normal_loss": nloss,
-                   "num_dropped": dropped, "num_needed": needed}
+                   "num_dropped": dropped, "num_needed": needed,
+                   "num_needed_exch": needed_ex}
         if guidance is not None:
             metrics["guidance_loss"] = g_loss
         if perceptual_lam:
