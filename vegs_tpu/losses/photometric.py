@@ -54,6 +54,13 @@ def _depthwise_filter(img: jax.Array, window: jax.Array) -> jax.Array:
         padding="SAME",
         feature_group_count=c,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # FULL f32: XLA:TPU lowers default-precision convs through bf16
+        # MXU passes; the E[x^2] - mu^2 cancellation below then carries
+        # ~2e-3 noise — larger than c2 = 9e-4 — so SSIM denominators go
+        # negative and the loss GRADIENT explodes (measured: means-grad
+        # rms 2e-1 / max 25 at 128x256 vs 1.4e-5 under l1 — the round-4
+        # "14 dB full-model gap" root cause).
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 
@@ -65,8 +72,15 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
     mu1 = _depthwise_filter(img1, window)
     mu2 = _depthwise_filter(img2, window)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_filter(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_filter(img2 * img2, window) - mu2_sq
+    # Clamp the variance estimates at 0: E[x^2] - mu^2 is a catastrophic
+    # cancellation and even exact f32 can dip slightly negative on flat
+    # regions; a negative variance flips the denominator's sign near
+    # -c2 and the quotient rule then amplifies gradients unboundedly.
+    # (True variances are >= 0, so clamping only removes float error.)
+    sigma1_sq = jnp.maximum(
+        _depthwise_filter(img1 * img1, window) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(
+        _depthwise_filter(img2 * img2, window) - mu2_sq, 0.0)
     sigma12 = _depthwise_filter(img1 * img2, window) - mu12
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (

@@ -111,6 +111,12 @@ class RawBinned(NamedTuple):
     total: jax.Array           # scalar — pre-cap instance count
     num_raw: jax.Array         # scalar — min(total, k_cap)
     cum: jax.Array             # [n] inclusive per-Gaussian count cumsum
+    prepass_cm: jax.Array | None = None  # [8, k_cap] f32 channel-major
+    #   (mx, my, conic a/b/c, op_lo, 0, 0) in SORTED order — the satcull
+    #   prepass input, carried through the sort as 6 extra operands
+    #   (measured ~2 ms at 4.87M) instead of a ~23 ms row gather. op_lo is
+    #   dequantized one step DOWN from the rec's ceil'd dmax so it never
+    #   exceeds the true opacity (satcount stays conservative).
 
 
 class Binned(NamedTuple):
@@ -249,9 +255,15 @@ def bin_raw(
     opacities: jax.Array | None = None,
     want_rawslot: bool = True,
     compact: bool | None = None,
+    carry_prepass: bool = False,
 ) -> RawBinned:
     """Expand each active Gaussian (radii > 0) into one instance per covered
     tile, sorted by (tile, quantized depth) — the raw stream, no relayout.
+
+    `carry_prepass=True` (requires conics/opacities) additionally threads
+    the saturation-prepass inputs (mx, my, conic, op_lo) through the sort
+    as six extra operands and returns them channel-major in `prepass_cm`
+    (see RawBinned).
 
     Deliberately SCATTER-FREE: XLA:TPU serializes scatters with potentially
     colliding indices into per-element loops, which turned a ~10 ms stage
@@ -475,14 +487,30 @@ def bin_raw(
 
     # Carry the raw slot through the sort: it anchors the raw->padded map
     # (`order`) that the gradient segment-reduce consumes (3-operand sort is
-    # only ~0.4 ms dearer than 2-operand at 2M). Forward-only renders
-    # (want_rawslot=False) drop the third operand.
+    # only ~0.4 ms dearer than 2-operand at 2M; 8 extra payload operands
+    # cost ~0.6 ms at 2.23M — r11_recscan micro). Forward-only renders
+    # (want_rawslot=False) drop the rawslot operand.
+    carry_prepass = carry_prepass and do_cull
+    extra = ()
+    if carry_prepass:
+        fbc2 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+        # one quantization step BELOW the ceil'd dmax -> op_lo <= op
+        op_lo = jnp.exp(0.5 * (gdmax - DMAX_QUANT / 255.0)) / 255.0
+        extra = (rec_g[:, 6], rec_g[:, 7], rec_g[:, 3], rec_g[:, 4],
+                 rec_g[:, 5], fbc2(op_lo))
     if want_rawslot:
-        key_sorted, gidx_sorted, rawslot_sorted = jax.lax.sort(
-            (key, gidx_raw, slot), num_keys=1)
+        key_sorted, gidx_sorted, rawslot_sorted, *extra_s = jax.lax.sort(
+            (key, gidx_raw, slot) + extra, num_keys=1)
     else:
-        key_sorted, gidx_sorted = jax.lax.sort((key, gidx_raw), num_keys=1)
+        key_sorted, gidx_sorted, *extra_s = jax.lax.sort(
+            (key, gidx_raw) + extra, num_keys=1)
         rawslot_sorted = None
+    prepass_cm = None
+    if carry_prepass:
+        fb = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+        prepass_cm = jnp.concatenate(
+            [jnp.stack([fb(c) for c in extra_s], axis=0),
+             jnp.zeros((2, k_cap), jnp.float32)], axis=0)  # [8, k_cap]
 
     # Raw (unpadded) per-tile ranges via binary search on the sorted keys
     # (few queries -> the scan method is fine here).
@@ -501,6 +529,7 @@ def bin_raw(
         total=total,
         num_raw=num_raw,
         cum=cum,
+        prepass_cm=prepass_cm,
     )
 
 

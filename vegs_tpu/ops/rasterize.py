@@ -345,17 +345,16 @@ def rasterize(
     rb = binning.bin_raw(
         m2d_sg, dep_sg, proj.radii_xy, grid, config.k_cap,
         conics=con_sg, opacities=op_sg,
-        want_rawslot=not config.forward_only, compact=compact)
+        want_rawslot=not config.forward_only, compact=compact,
+        carry_prepass=sat_on)
     if sat_on:
         from . import satcull
 
-        # Saturation prepass input: the f32 payload rows in sorted order
-        # (stop-gradient — cull decisions are index math, like binning).
-        # gidx for tail slots past num_real may point at junk rows; the
-        # kernel's in-range mask zeroes them before they can matter.
-        pf_sorted = jax.lax.stop_gradient(
-            jnp.pad(pay_f32, ((0, 1), (0, 0))))[rb.gidx_sorted]
-        sat_counts = satcull.satcount(pf_sorted.T, rb.raw_starts, grid)
+        # Saturation prepass input rides the binning sort (RawBinned.
+        # prepass_cm — 6 extra sort operands, ~2 ms at 4.87M) instead of a
+        # ~23 ms sorted-order row gather. Everything here is stop-gradient
+        # (cull decisions are index math, like binning).
+        sat_counts = satcull.satcount(rb.prepass_cm, rb.raw_starts, grid)
     else:
         sat_counts = None
     binned = binning.bin_gaussians(
