@@ -105,21 +105,23 @@ def stage_table(label, n, k_cap, k_pad, k_sat, kept_walk, measured):
           f"measured full step: see r09 'full fwd+bwd'.")
 
 
-# ---- 2.23M reference scale (fill from perf/r09_refscale.py output) -------
+# ---- 2.23M reference scale (perf/r09_refscale.py, 2026-08-21, satcull
+# pipeline: full fwd+bwd 206.6 ms = 2.56 Mpix/s; satcull keeps 838k of
+# 4.03M real instances; the prepass gather row was since replaced by six
+# sort-carried operands (~2 ms) — see NOTES_PERF round-5)
 MEASURED_2M = {
-    # r09 run 2026-08-21 (post-satcull; edit on re-measure)
-    "project fwd+bwd": 16.9,
-    "bin_raw minus sort": 65.1 - 9.7,
-    "sort3 (measured primitive)": 9.7,
-    "satcull prepass gather": None,     # filled after the satcull profile
-    "satcount kernel": None,
-    "relayout+order (minus sorts)": None,
-    "gather_expand fwd": None,
-    "blend fwd+bwd": 17.5,
-    "cotangent gather + segreduce": None,
+    "project fwd+bwd": 18.65,
+    "bin_raw minus sort": 64.58 - 9.53,
+    "sort3 (measured primitive)": 9.53,
+    "satcull prepass gather": 22.88,
+    "satcount kernel": 4.36,
+    "relayout+order (minus sorts)": 72.93 - 64.58,
+    "gather_expand fwd": 16.38,
+    "blend fwd+bwd": 12.50,
+    "cotangent gather + segreduce": 39.60 - 16.38,
 }
 
 if __name__ == "__main__":
     meas = {k: v for k, v in MEASURED_2M.items() if v is not None}
     stage_table("2.23M reference scale", 2_233_571,
-                4_867_584, 1_126_912, 1_126_912, 900_000, meas)
+                4_867_584, 1_158_656, 1_158_656, 1_100_000, meas)
