@@ -32,10 +32,10 @@ import numpy as np
 import quality_full as qf
 
 H, W = 128, 256
-N_FRAMES = 6
+N_FRAMES = int(os.environ.get("VEGS_QB5_FRAMES", "6"))
 BASELINE = 0.54            # KITTI stereo baseline (m)
 NOISE_T = 0.125
-ITERS = int(os.environ.get("VEGS_QB5_ITERS", "1800"))
+ITERS = int(os.environ.get("VEGS_QB5_ITERS", "1500"))
 SWEEP = [1e-3]             # reference boxmodel_lambda_reg default
 MONO_CONTROL = os.environ.get("VEGS_QB5_MONO", "1") != "0"
 
@@ -87,7 +87,7 @@ def main():
         "(/root/reference/scene/dataset_readers.py:218-300). Setup:",
         f"ray-traced street oracle, one mover, {H}x{W}, {N_FRAMES} frames"
         f" x 2 eyes ({BASELINE} m baseline), {NOISE_T} m injected",
-        f"translation noise, {ITERS} iterations (~360 updates per",
+        f"translation noise, {ITERS} iterations (~{2 * ITERS // 8} updates per",
         "frame-delta), boxmodel_lr 5e-3, no guidance/perceptual. A",
         "monocular control arm isolates the stereo effect.",
         "",
