@@ -112,8 +112,7 @@ def measure(n_gaussians: int) -> float:
     _compact = None if _ce == "auto" else (_ce != "0")
     _rb = _binning.bin_raw(
         _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
-        conics=_proj.conics, opacities=_proj.opacities, compact=_compact,
-        carry_prepass=True)
+        conics=_proj.conics, opacities=_proj.opacities, compact=_compact)
     # VEGS_SATCULL: "1"/"0" force the saturation prepass; unset = the
     # library's auto gate (deep mean instance depth only — at 500k nothing
     # saturates and the prepass is pure overhead, measured).
@@ -129,9 +128,15 @@ def measure(n_gaussians: int) -> float:
         # k_pad is sized by the SATCULLED padded need — the saturation
         # prepass clips each tile to its contributing prefix, so the padded
         # layout (and every downstream stage) shrinks accordingly.
+        import jax.numpy as jnp
         from vegs_tpu.ops import satcull as _satcull
+        from vegs_tpu.ops.rasterize import build_payload as _bp
+        from vegs_tpu import geometry as _geo
 
-        _sat = _satcull.satcount(_rb.prepass_cm, _rb.raw_starts, _grid)
+        _qn = _geo.quat_standardize(_geo.quat_normalize(quats))
+        _pf, _ = _bp(_proj, _qn, scales, jnp.bfloat16)
+        _pf_sorted = jnp.pad(_pf, ((0, 1), (0, 0)))[_rb.gidx_sorted]
+        _sat = _satcull.satcount(_pf_sorted.T, _rb.raw_starts, _grid)
         _probe = _binning.bin_gaussians(
             _proj.means2d, _proj.depths, _proj.radii_xy, _grid, probe_cap,
             conics=_proj.conics, opacities=_proj.opacities,

@@ -37,6 +37,7 @@ BASELINE = 0.54            # KITTI stereo baseline (m)
 NOISE_T = 0.125
 ITERS = int(os.environ.get("VEGS_QB5_ITERS", "1500"))
 SWEEP = [1e-3]             # reference boxmodel_lambda_reg default
+BOX_LR = float(os.environ.get("VEGS_QB5_LR", "0"))  # 0 = config default
 MONO_CONTROL = os.environ.get("VEGS_QB5_MONO", "1") != "0"
 
 
@@ -50,6 +51,9 @@ def run_one(lambda_reg: float, stereo: float, label: str, seed: int = 7):
     tr.cfg.sd.perceptual_loss = False
     tr._vgg_params = None
     tr.cfg.box.boxmodel_lambda_reg = lambda_reg
+    if BOX_LR > 0:
+        tr.cfg.box.boxmodel_lr = BOX_LR
+        label = f"{label}_lr{BOX_LR:g}"
 
     t0 = time.time()
     trend = []
@@ -106,7 +110,8 @@ def main():
             f"it{it}={e:.4f}" for it, e in r["trend"]))
         lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "QUALITY_BOX_r05.md")
+        os.path.abspath(__file__))),
+        os.environ.get("VEGS_QB5_OUT", "QUALITY_BOX_r05.md"))
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")

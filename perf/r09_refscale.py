@@ -86,11 +86,13 @@ def size_caps(cam, means, quats, scales, opac, shs, tile_h, tile_w,
     proj = project(means, cov6, opac, shs, cam)
     rb = binning.bin_raw(
         proj.means2d, proj.depths, proj.radii_xy, grid, probe_cap,
-        conics=proj.conics, opacities=proj.opacities, compact=compact,
-        carry_prepass=sat)
+        conics=proj.conics, opacities=proj.opacities, compact=compact)
     sat_counts = None
     if sat:
-        sat_counts = satcull.satcount(rb.prepass_cm, rb.raw_starts, grid)
+        qn = geometry.quat_standardize(geometry.quat_normalize(quats))
+        pf, _ = build_payload(proj, qn, scales, jnp.bfloat16)
+        pf_sorted = jnp.pad(pf, ((0, 1), (0, 0)))[rb.gidx_sorted]
+        sat_counts = satcull.satcount(pf_sorted.T, rb.raw_starts, grid)
     pb = binning.bin_gaussians(
         proj.means2d, proj.depths, proj.radii_xy, grid, probe_cap,
         conics=proj.conics, opacities=proj.opacities, compact=compact,

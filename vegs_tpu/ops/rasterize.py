@@ -345,16 +345,24 @@ def rasterize(
     rb = binning.bin_raw(
         m2d_sg, dep_sg, proj.radii_xy, grid, config.k_cap,
         conics=con_sg, opacities=op_sg,
-        want_rawslot=not config.forward_only, compact=compact,
-        carry_prepass=sat_on)
+        want_rawslot=not config.forward_only, compact=compact)
     if sat_on:
         from . import satcull
 
-        # Saturation prepass input rides the binning sort (RawBinned.
-        # prepass_cm — 6 extra sort operands, ~2 ms at 4.87M) instead of a
-        # ~23 ms sorted-order row gather. Everything here is stop-gradient
-        # (cull decisions are index math, like binning).
-        sat_counts = satcull.satcount(rb.prepass_cm, rb.raw_starts, grid)
+        # Saturation prepass input: the f32 payload rows gathered in
+        # sorted order (stop-gradient — cull decisions are index math,
+        # like binning). Measured A/B at 2.23M (2026-08-21): carrying
+        # these six columns through the binning sort instead
+        # (bin_raw(carry_prepass=True) -> RawBinned.prepass_cm) is NET
+        # SLOWER — 2.564 vs 2.682 Mpix/s — because sort payload bytes
+        # traverse every merge pass at k=4.87M (~+20 ms) while this
+        # row-8 gather costs ~23 ms; the r11 micro's +0.6 ms at n-scale
+        # did not extrapolate to k-scale sorts. gidx for tail slots past
+        # num_real may point at junk rows; the kernel's in-range mask
+        # zeroes them before they can matter.
+        pf_sorted = jax.lax.stop_gradient(
+            jnp.pad(pay_f32, ((0, 1), (0, 0))))[rb.gidx_sorted]
+        sat_counts = satcull.satcount(pf_sorted.T, rb.raw_starts, grid)
     else:
         sat_counts = None
     binned = binning.bin_gaussians(
